@@ -1,0 +1,237 @@
+"""HRNet: multi-frame super-resolution by recursive pairwise fusion.
+
+TPU-first re-design of the reference architecture (behavioral spec at
+/root/reference/src/DeepNetworks/HRNet.py:7-211; parameter shapes from
+config/config.json). Differences from the reference are representational,
+not semantic:
+
+- NHWC layout throughout (TPU native; convs tile onto the MXU).
+- The view axis is folded into the batch axis for the shared encoder —
+  one big conv batch instead of L small ones.
+- The fusion tree is an unrolled static halving loop (L is static under
+  jit, so the trip count log2(L) is known at trace time and XLA fuses each
+  round into a single fused conv block).
+- The decoder's ConvTranspose2d(kernel=3, stride=3) is non-overlapping, so
+  it is implemented as a per-pixel linear map to 3x3 sub-pixel blocks
+  (einsum + depth-to-space). This is numerically identical and turns the
+  scatter-style deconv into one MXU matmul.
+- The shared reference frame is the LOWER median over the first 9 views,
+  matching torch.median's tie-breaking for even counts
+  (reference: HRNet.py:200).
+
+Parameter count matches the reference exactly: 591,818 for the default
+config (verified by tests/test_models.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def lower_median(x: jax.Array, axis: int) -> jax.Array:
+    """Median that returns the lower of the two middle values for even n.
+
+    torch.median semantics (the reference's anchor-frame op), unlike
+    jnp.median which averages the middle pair.
+    """
+    n = x.shape[axis]
+    xs = jnp.sort(x, axis=axis)
+    return jax.lax.index_in_dim(xs, (n - 1) // 2, axis=axis, keepdims=False)
+
+
+class PReLU(nn.Module):
+    """Channel-shared PReLU with a single learned slope (torch default)."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param("alpha", lambda _: jnp.full((1,), self.init, jnp.float32))
+        a = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> PReLU -> conv3x3 -> PReLU, with skip."""
+
+    channels: int = 64
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = (self.kernel_size, self.kernel_size)
+        h = nn.Conv(self.channels, k, padding="SAME", name="conv0")(x)
+        h = PReLU(name="prelu0")(h)
+        h = nn.Conv(self.channels, k, padding="SAME", name="conv1")(h)
+        h = PReLU(name="prelu1")(h)
+        return x + h
+
+
+class Encoder(nn.Module):
+    """Shared per-view encoder: init conv+PReLU, N residual blocks, final conv."""
+
+    in_channels: int = 2
+    channels: int = 64
+    num_layers: int = 2
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = (self.kernel_size, self.kernel_size)
+        x = nn.Conv(self.channels, k, padding="SAME", name="init_conv")(x)
+        x = PReLU(name="init_prelu")(x)
+        for i in range(self.num_layers):
+            x = ResidualBlock(self.channels, self.kernel_size, name=f"res{i}")(x)
+        x = nn.Conv(self.channels, k, padding="SAME", name="final_conv")(x)
+        return x
+
+
+class FusionNet(nn.Module):
+    """Recursive pairwise fusion with a shared fuse block.
+
+    Per round: split L states into (alice, bob-reversed) halves, concat on
+    channels, apply ResidualBlock(2C) + conv 2C->C + PReLU, and (if
+    alpha_residual) gate by bob's alpha so padded views pass alice through
+    unchanged: x = alice + alpha_bob * fused. Odd leftover views are dropped
+    (reference: HRNet.py:113-132). Final reduction is a mean over the
+    remaining view axis.
+    """
+
+    channels: int = 64
+    kernel_size: int = 3
+    alpha_residual: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, alphas: jax.Array) -> jax.Array:
+        # x: (B, L, H, W, C); alphas: (B, L)
+        b, l, h, w, c = x.shape
+        k = (self.kernel_size, self.kernel_size)
+        fuse = nn.Sequential(
+            [
+                ResidualBlock(2 * self.channels, self.kernel_size, name="fuse_res"),
+                nn.Conv(self.channels, k, padding="SAME", name="fuse_conv"),
+                PReLU(name="fuse_prelu"),
+            ]
+        )
+        alphas = alphas[..., None, None, None]  # (B, L, 1, 1, 1)
+
+        nviews = l
+        while nviews // 2 > 0:
+            half = nviews // 2
+            alice = x[:, :half]
+            bob = jnp.flip(x[:, half : 2 * half], axis=1)
+
+            pair = jnp.concatenate([alice, bob], axis=-1)  # (B, half, H, W, 2C)
+            fused = fuse(pair.reshape(b * half, h, w, 2 * c))
+            fused = fused.reshape(b, half, h, w, c)
+
+            if self.alpha_residual:
+                a_bob = jnp.flip(alphas[:, half : 2 * half], axis=1)
+                x = alice + a_bob * fused
+                alphas = alphas[:, :half]
+            else:
+                x = fused
+            nviews = half
+
+        return jnp.mean(x, axis=1)  # (B, H, W, C)
+
+
+class Decoder(nn.Module):
+    """3x upsampling decoder.
+
+    The reference's ConvTranspose2d(C->C, kernel=3, stride=3) has
+    kernel==stride, so each input pixel independently produces a 3x3 output
+    block: out[3i+di, 3j+dj, co] = sum_ci x[i,j,ci] * W[di,dj,ci,co] + b.
+    That is one einsum (MXU matmul over C) followed by depth-to-space —
+    no overlap, no scatter. Then PReLU and a final 1x1 conv C->1.
+    """
+
+    channels: int = 64
+    out_channels: int = 1
+    scale: int = 3
+    final_kernel: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        s = self.scale
+        kernel = self.param(
+            "deconv_kernel",
+            nn.initializers.lecun_normal(),
+            (s, s, c, self.channels),
+            jnp.float32,
+        )
+        bias = self.param("deconv_bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        # (B,H,W,C) x (s,s,C,Co) -> (B,H,W,s,s,Co)
+        y = jnp.einsum(
+            "bhwc,uvcd->bhwuvd",
+            x,
+            kernel.astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+        y = y + bias.astype(x.dtype)
+        # depth-to-space: (B,H,s,W,s,Co) -> (B,sH,sW,Co)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, s * h, s * w, self.channels)
+        y = PReLU(name="deconv_prelu")(y)
+        fk = (self.final_kernel, self.final_kernel)
+        y = nn.Conv(self.out_channels, fk, padding="SAME", name="final_conv")(y)
+        return y
+
+
+class HRNet(nn.Module):
+    """Top-level multi-frame SR model.
+
+    forward(lrs (B, L, H, W), alphas (B, L)) -> (B, 3H, 3W) SR images.
+
+    The anchor frame is the lower-median of the first min(9, L) views,
+    broadcast to every view and stacked as a second input channel
+    (implicit co-registration; reference HRNet.py:200-204).
+    """
+
+    config: Dict[str, Any] | None = None
+
+    def setup(self):
+        cfg = self.config or {}
+        enc = cfg.get("encoder", {})
+        rec = cfg.get("recursive", {})
+        dec = cfg.get("decoder", {})
+        self.encode = Encoder(
+            in_channels=enc.get("in_channels", 2),
+            channels=enc.get("channel_size", 64),
+            num_layers=enc.get("num_layers", 2),
+            kernel_size=enc.get("kernel_size", 3),
+        )
+        self.fuse = FusionNet(
+            channels=rec.get("in_channels", 64),
+            kernel_size=rec.get("kernel_size", 3),
+            alpha_residual=rec.get("alpha_residual", True),
+        )
+        dd = dec.get("deconv", {})
+        df = dec.get("final", {})
+        self.decode = Decoder(
+            channels=dd.get("out_channels", 64),
+            out_channels=df.get("out_channels", 1),
+            scale=dd.get("stride", 3),
+            final_kernel=df.get("kernel_size", 1),
+        )
+
+    def __call__(self, lrs: jax.Array, alphas: jax.Array) -> jax.Array:
+        b, l, h, w = lrs.shape
+        refs = lower_median(lrs[:, : min(9, l)], axis=1)  # (B, H, W)
+        refs = jnp.broadcast_to(refs[:, None], (b, l, h, w))
+        x = jnp.stack([lrs, refs], axis=-1)  # (B, L, H, W, 2)
+
+        states = self.encode(x.reshape(b * l, h, w, 2))
+        states = states.reshape(b, l, h, w, -1)
+
+        fused = self.fuse(states, alphas)  # (B, H, W, C)
+        sr = self.decode(fused)  # (B, 3H, 3W, 1)
+        return sr[..., 0]
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

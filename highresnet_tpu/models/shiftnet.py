@@ -1,0 +1,110 @@
+"""ShiftNet: sub-pixel pairwise registration network.
+
+Behavioral spec from /root/reference/src/DeepNetworks/ShiftNet.py:6-90:
+8 conv(+BN+ReLU) layers with 2x maxpool after layers 2/4/6 (128 -> 16),
+dropout(0.5) on the flattened features, fc 32768->1024->2 with the last
+layer bias-free and zero-initialized (identity transform at init), and the
+per-channel spatial mean subtracted from the input.
+
+TPU-first notes:
+- NHWC; the flatten before fc1 transposes to channel-major (C, H, W) order
+  so fc weights are layout-compatible with torch checkpoints.
+- ``register_views`` folds the view axis into the batch axis: the reference
+  loops over views in Python calling the net once per view
+  (src/train.py:26-44); here all B*L pairs go through one conv stack.
+  (BatchNorm batch statistics are then computed over all views jointly
+  rather than per-view — identical at eval time, where running averages
+  are used.)
+- Parameter count matches the reference: 34,187,648.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from highresnet_tpu.ops.lanczos import lanczos_shift
+
+
+class ShiftNet(nn.Module):
+    in_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """x: (B, H, W, 2*in_channels) image pairs -> (B, 2) translations."""
+        x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+
+        def block(h, features, idx, pool):
+            h = nn.Conv(features, (3, 3), padding="SAME", name=f"conv{idx}")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name=f"bn{idx}",
+            )(h)
+            h = nn.relu(h)
+            if pool:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            return h
+
+        widths = [64, 64, 64, 64, 128, 128, 128, 128]
+        pools = [False, True, False, True, False, True, False, False]
+        for i, (ch, p) in enumerate(zip(widths, pools), start=1):
+            x = block(x, ch, i, p)
+
+        b = x.shape[0]
+        # channel-major flatten for torch fc-weight compatibility
+        x = x.transpose(0, 3, 1, 2).reshape(b, -1)
+
+        x = nn.Dropout(rate=0.5, deterministic=not train)(x)
+        x = nn.Dense(1024, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(2, use_bias=False, kernel_init=nn.initializers.zeros, name="fc2")(x)
+        return x
+
+
+def register_views(
+    shiftnet: ShiftNet,
+    variables,
+    views: jax.Array,
+    reference: jax.Array,
+    train: bool = False,
+    dropout_rng=None,
+):
+    """Predict per-view translations against a shared reference frame.
+
+    Args:
+      views: (B, L, H, W) images to register.
+      reference: (B, H, W) reference images.
+
+    Returns:
+      thetas (B, L, 2); and, when training, the updated batch_stats dict.
+
+    Channel order matches the reference: [reference, view]
+    (src/train.py:40 concatenates reference first).
+    """
+    b, l, h, w = views.shape
+    ref = jnp.broadcast_to(reference[:, None], (b, l, h, w))
+    pairs = jnp.stack([ref, views], axis=-1).reshape(b * l, h, w, 2)
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
+    if train:
+        thetas, mutated = shiftnet.apply(
+            variables, pairs, train=True, rngs=rngs, mutable=["batch_stats"]
+        )
+        return thetas.reshape(b, l, 2), mutated["batch_stats"]
+    thetas = shiftnet.apply(variables, pairs, train=False)
+    return thetas.reshape(b, l, 2), None
+
+
+def apply_shifts(images: jax.Array, thetas: jax.Array, a: int = 3, n: int = 7) -> jax.Array:
+    """Warp (B, L, H, W) images by per-view thetas (B, L, 2).
+
+    The network predicts (dx, dy); the resampler consumes (dy, dx), so the
+    last axis is flipped (reference: ShiftNet.transform flips theta,
+    src/DeepNetworks/ShiftNet.py:88).
+    """
+    b, l, h, w = images.shape
+    shifts = jnp.flip(thetas.reshape(b * l, 2), axis=-1)
+    out = lanczos_shift(images.reshape(b * l, h, w), shifts, a=a, n=n)
+    return out.reshape(b, l, h, w)

@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device CPU mesh before JAX initializes.
+
+This is the fake-backend mechanism for testing v5e-8-style sharding without
+TPU hardware (SURVEY.md §4): XLA exposes 8 virtual CPU devices, so every
+`jax.sharding.Mesh` test exercises real partitioning + collectives.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: CPU test compiles dominate wall-clock, and
+# they are identical across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
