@@ -1,0 +1,100 @@
+"""Synthetic Proba-V-format dataset generator.
+
+Writes scene directories in the exact on-disk layout the loaders expect
+(LR*.png / QM*.png / SM.png / HR.png, 16-bit grayscale), so the full
+pipeline — clearance precompute, sampling, collation, training, eval,
+submission — runs end-to-end with no Proba-V download. HR content is a
+smooth random field; LR views are 3x-decimated, sub-pixel-jittered, noisy
+copies, which gives MFSR training signal (more views -> recoverable detail).
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+
+import numpy as np
+
+from highresnet_tpu.utils.imageio import imsave_u16
+
+
+def _smooth_field(rng: np.random.Generator, size: int, octaves: int = 4) -> np.ndarray:
+    """Multi-octave smooth random field in [0, 1]."""
+    out = np.zeros((size, size))
+    for o in range(octaves):
+        n = max(2, size >> (octaves - 1 - o))
+        coarse = rng.normal(size=(n, n))
+        # bilinear upsample to full size
+        xi = np.linspace(0, n - 1, size)
+        x0 = np.floor(xi).astype(int)
+        x1 = np.minimum(x0 + 1, n - 1)
+        fx = xi - x0
+        rows = coarse[x0][:, x0] * (1 - fx)[None, :] + coarse[x0][:, x1] * fx[None, :]
+        rows1 = coarse[x1][:, x0] * (1 - fx)[None, :] + coarse[x1][:, x1] * fx[None, :]
+        up = rows * (1 - fx)[:, None] + rows1 * fx[:, None]
+        out += up / (2**o)
+    out -= out.min()
+    out /= max(out.max(), 1e-9)
+    return out
+
+
+def make_scene(
+    scene_dir: str,
+    rng: np.random.Generator,
+    n_views: int = 8,
+    lr_size: int = 32,
+    with_hr: bool = True,
+    noise: float = 0.01,
+) -> None:
+    os.makedirs(scene_dir, exist_ok=True)
+    hr_size = 3 * lr_size
+    hr = _smooth_field(rng, hr_size)
+
+    for v in range(n_views):
+        dy, dx = rng.integers(-2, 3, size=2)
+        shifted = np.roll(hr, (int(dy), int(dx)), axis=(0, 1))
+        lr = shifted.reshape(lr_size, 3, lr_size, 3).mean(axis=(1, 3))
+        lr = np.clip(lr + rng.normal(scale=noise, size=lr.shape), 0, 1)
+        qm = (rng.random((lr_size, lr_size)) > 0.05).astype(np.uint8) * 255
+        imsave_u16(join(scene_dir, f"LR{v:03d}.png"), np.round(lr * 65535).astype(np.uint16))
+        imsave_u16(join(scene_dir, f"QM{v:03d}.png"), qm)
+
+    sm = (rng.random((hr_size, hr_size)) > 0.02).astype(np.uint8) * 255
+    imsave_u16(join(scene_dir, "SM.png"), sm)
+    if with_hr:
+        imsave_u16(join(scene_dir, "HR.png"), np.round(hr * 65535).astype(np.uint16))
+
+
+def make_synthetic_dataset(
+    root: str,
+    n_scenes_per_channel: int = 2,
+    n_views: int = 8,
+    lr_size: int = 32,
+    seed: int = 0,
+    splits=("train", "test"),
+    write_norm_csv: bool = True,
+) -> str:
+    """Create <root>/{train,test}/{RED,NIR}/imgset####/ with PNG assets."""
+    rng = np.random.default_rng(seed)
+    idx = 0
+    names = []
+    for split in splits:
+        with_hr = split == "train"
+        for ch in ("RED", "NIR"):
+            for _ in range(n_scenes_per_channel):
+                name = f"imgset{idx:04d}"
+                make_scene(
+                    join(root, split, ch, name),
+                    rng,
+                    n_views=n_views,
+                    lr_size=lr_size,
+                    with_hr=with_hr,
+                )
+                if with_hr:
+                    names.append(name)
+                idx += 1
+    if write_norm_csv:
+        with open(join(root, "norm.csv"), "w") as f:
+            for name in names:
+                f.write(f"{name} {45.0 + rng.random() * 5:.6f}\n")
+    return root

@@ -1,0 +1,189 @@
+"""Data pipeline tests on a generated synthetic Proba-V dataset."""
+
+import numpy as np
+import pytest
+
+from highresnet_tpu.data import (
+    BatchLoader,
+    SceneDataset,
+    collate,
+    compute_clearance_scores,
+    discover_scenes,
+    read_baseline_cpsnr,
+    read_imageset,
+    sample_clearest,
+    save_clearance_scores,
+    shard_for_hosts,
+    train_val_split,
+)
+from highresnet_tpu.data.synth import make_synthetic_dataset
+from highresnet_tpu.utils.imageio import img_as_float32, img_as_uint16, imread_u16, imsave_u16
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("probav")
+    make_synthetic_dataset(str(root), n_scenes_per_channel=3, n_views=6, lr_size=16, seed=0)
+    return str(root)
+
+
+def test_png_roundtrip(tmp_path):
+    img = (np.arange(32 * 32).reshape(32, 32) * 61).astype(np.uint16)
+    p = tmp_path / "x.png"
+    imsave_u16(p, img)
+    back = imread_u16(p)
+    np.testing.assert_array_equal(img, back)
+
+
+def test_img_as_float_semantics():
+    u16 = np.array([0, 65535, 32768], np.uint16)
+    f = img_as_float32(u16)
+    np.testing.assert_allclose(f, [0.0, 1.0, 32768 / 65535], rtol=1e-6)
+    u8 = np.array([0, 255], np.uint8)
+    np.testing.assert_allclose(img_as_float32(u8), [0.0, 1.0])
+    back = img_as_uint16(np.array([0.0, 1.0, 0.5]))
+    np.testing.assert_array_equal(back, [0, 65535, 32768])
+
+
+def test_discovery_and_clearance(dataset_root):
+    scenes = discover_scenes(f"{dataset_root}/train")
+    assert len(scenes) == 6  # 3 per channel x 2 channels
+    scores = compute_clearance_scores(scenes[0])
+    assert scores.shape == (6,)
+    assert (scores > 0).all()
+    save_clearance_scores(scenes[:1])
+    import os
+
+    assert os.path.isfile(os.path.join(scenes[0], "clearance.npy"))
+
+
+def test_sample_clearest_distribution():
+    """beta=inf-ish should pick the clearest; beta=0 is uniform."""
+    rng = np.random.default_rng(0)
+    c = np.array([1.0, 2.0, 3.0, 100.0])
+    picks = [sample_clearest(c, n=1, beta=500.0, rng=rng)[0] for _ in range(50)]
+    assert all(p == 3 for p in picks)
+
+    counts = np.zeros(4)
+    for _ in range(2000):
+        counts[sample_clearest(c, n=1, beta=0.0, rng=rng)[0]] += 1
+    assert counts.min() > 2000 / 4 * 0.7  # roughly uniform
+
+
+def test_sample_clearest_no_replacement():
+    rng = np.random.default_rng(1)
+    c = np.ones(5)
+    s = sample_clearest(c, n=5, beta=50.0, rng=rng)
+    assert sorted(s.tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_sample_clearest_stable_at_huge_beta():
+    rng = np.random.default_rng(2)
+    c = np.array([1e9, 2e9, 3e9])
+    s = sample_clearest(c, n=2, beta=1e6, rng=rng)  # reference overflows here
+    assert s[0] == 2
+
+
+def test_read_imageset_full(dataset_root):
+    scenes = discover_scenes(f"{dataset_root}/train")
+    s = read_imageset(scenes[0], top_k=None)
+    assert s.lr.shape == (6, 16, 16)
+    assert s.lr.dtype == np.float32
+    assert 0 <= s.lr.min() and s.lr.max() <= 1
+    assert s.hr.shape == (48, 48)
+    assert s.hr_map.shape == (48, 48)
+    # full read is sorted by clearance, descending
+    assert (np.diff(s.clearances) <= 0).all()
+
+
+def test_read_imageset_patches_and_topk(dataset_root):
+    scenes = discover_scenes(f"{dataset_root}/train")
+    rng = np.random.default_rng(3)
+    s = read_imageset(scenes[1], create_patches=True, patch_size=8, top_k=4, beta=50.0, rng=rng)
+    assert s.lr.shape == (4, 8, 8)
+    assert s.hr.shape == (24, 24)
+    assert s.hr_map.shape == (24, 24)
+
+
+def test_test_split_has_no_hr(dataset_root):
+    scenes = discover_scenes(f"{dataset_root}/test")
+    s = read_imageset(scenes[0])
+    assert s.hr is None
+    assert s.hr_map is not None
+
+
+def test_collate_pad_and_truncate(dataset_root):
+    scenes = discover_scenes(f"{dataset_root}/train")
+    sets = [read_imageset(d) for d in scenes[:2]]  # 6 views each
+    b = collate(sets, min_l=4)  # truncate
+    assert b.lrs.shape == (2, 4, 16, 16)
+    assert (b.alphas == 1).all()
+    b8 = collate(sets, min_l=8)  # pad
+    assert b8.lrs.shape == (2, 8, 16, 16)
+    np.testing.assert_array_equal(b8.alphas[:, 6:], 0)
+    np.testing.assert_array_equal(b8.lrs[:, 6:], 0)
+    assert b8.hrs.shape == (2, 48, 48)
+
+
+def test_batch_loader_epoch(dataset_root):
+    scenes = discover_scenes(f"{dataset_root}/train")
+    loader = BatchLoader(
+        scenes, batch_size=4, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=8, seed=7, num_workers=2,
+    )
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2  # 6 scenes / bs 4 -> 2 batches
+    assert batches[0].lrs.shape == (4, 4, 8, 8)
+    assert batches[1].lrs.shape == (2, 4, 8, 8)
+    # different epochs reshuffle
+    names1 = [n for b in batches for n in b.names]
+    names2 = [n for b in loader for n in b.names]
+    assert sorted(names1) == sorted(names2)
+    assert names1 != names2
+
+
+def test_shard_for_hosts():
+    dirs = [f"s{i}" for i in range(10)]
+    shards = [shard_for_hosts(dirs, h, 4) for h in range(4)]
+    flat = sorted(d for s in shards for d in s)
+    assert flat == sorted(dirs)
+    assert abs(len(shards[0]) - len(shards[3])) <= 1
+
+
+def test_norm_csv_and_split(dataset_root):
+    scores = read_baseline_cpsnr(f"{dataset_root}/norm.csv")
+    assert len(scores) == 6
+    assert all(45 <= v <= 50 for v in scores.values())
+    scenes = discover_scenes(f"{dataset_root}/train")
+    tr, val = train_val_split(scenes, val_proportion=0.34, seed=1)
+    assert len(tr) + len(val) == 6 and len(val) == 3
+    # deterministic
+    tr2, val2 = train_val_split(scenes, val_proportion=0.34, seed=1)
+    assert tr == tr2 and val == val2
+
+
+def test_scene_dataset_indexing(dataset_root):
+    scenes = discover_scenes(f"{dataset_root}/train")
+    ds = SceneDataset(scenes)
+    assert len(ds) == 6
+    s0 = ds[0]
+    by_name = ds[s0.name]
+    assert by_name.name == s0.name
+    sl = ds[0:2]
+    assert isinstance(sl, list) and len(sl) == 2
+
+
+def test_config_load(tmp_path):
+    from highresnet_tpu.config import DEFAULT_CONFIG, load_config
+
+    cfg = load_config("configs/config.json")
+    assert cfg["network"]["encoder"]["channel_size"] == 64
+    assert cfg["training"]["lambda"] == 1e-6
+    # defaults survive partial configs
+    import json
+
+    p = tmp_path / "partial.json"
+    p.write_text(json.dumps({"training": {"batch_size": 2}}))
+    cfg2 = load_config(str(p))
+    assert cfg2["training"]["batch_size"] == 2
+    assert cfg2["training"]["lr"] == DEFAULT_CONFIG["training"]["lr"]
