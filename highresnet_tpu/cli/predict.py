@@ -1,0 +1,46 @@
+"""Evaluate a trained model and/or produce a Kelvin submission archive.
+
+Usage:
+    python -m highresnet_tpu.cli.predict --config configs/config.json \
+        --checkpoint <run_dir> [--submission out_dir] [--splits val test]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="configs/config.json")
+    parser.add_argument("--checkpoint", required=True, help="run dir containing best/")
+    parser.add_argument("--submission", default=None, help="write submission zip here")
+    parser.add_argument("--splits", nargs="*", default=["val"], choices=["train", "val", "test"])
+    parser.add_argument("--top-k", type=int, default=-1)
+    args = parser.parse_args(argv)
+    assert os.path.isfile(args.config), args.config
+
+    from highresnet_tpu.config import load_config
+    from highresnet_tpu.eval.evaluator import Model, benchmark, evaluate, load_data
+
+    config = load_config(args.config)
+    train_ds, val_ds, test_ds, baseline = load_data(args.config, top_k=args.top_k)
+    model = Model(config)
+    model.load_checkpoint(args.checkpoint)
+
+    datasets = {"train": train_ds, "val": val_ds, "test": test_ds}
+    selected = {s: datasets[s] for s in args.splits}
+    scores, clearances, part = evaluate(
+        model.forward, selected, min_l=config["training"]["min_L"]
+    )
+    table = benchmark(baseline, scores, part, clearances)
+    print(table)
+
+    if args.submission:
+        archive = model.generate_submission_file(test_ds, out=args.submission)
+        print(f"submission written: {archive}")
+
+
+if __name__ == "__main__":
+    main()

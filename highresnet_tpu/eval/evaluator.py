@@ -1,0 +1,190 @@
+"""Inference & benchmarking API — the reference predict.py capability set.
+
+Provides `load_data` (train/val/test split), `get_sr_and_score` (single
+scene), `evaluate` (all splits), `benchmark` (ESA-ratio table), and the
+`Model` facade (reference: /root/reference/src/predict.py:17-220).
+
+TPU notes: SR forwards and the 7x7 shift-search cPSNR run as one jitted
+program per (static) batch shape; scenes are grouped by LR view count to
+avoid shape-churn recompiles.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from highresnet_tpu.config import load_config
+from highresnet_tpu.data.collate import Batch, collate
+from highresnet_tpu.data.probav import (
+    ImageSet,
+    SceneDataset,
+    discover_scenes,
+    read_baseline_cpsnr,
+    train_val_split,
+)
+from highresnet_tpu.models.hrnet import HRNet
+from highresnet_tpu.ops.metrics import shift_cpsnr
+from highresnet_tpu.train.checkpoint import load_params
+
+
+def load_data(config_file_path: str, val_proportion: float = 0.10, top_k: int = -1):
+    """Load train/val/test SceneDatasets + ESA baseline scores."""
+    config = load_config(config_file_path)
+    data_dir = config["paths"]["prefix"]
+
+    baseline = None
+    norm_path = os.path.join(data_dir, "norm.csv")
+    if os.path.exists(norm_path):
+        baseline = read_baseline_cpsnr(norm_path)
+
+    train_dirs = discover_scenes(os.path.join(data_dir, "train"))
+    test_dirs = discover_scenes(os.path.join(data_dir, "test"))
+    train_list, val_list = train_val_split(train_dirs, val_proportion, seed=1)
+
+    mk = lambda dirs: SceneDataset(dirs, create_patches=False, top_k=top_k)
+    return mk(train_list), mk(val_list), mk(test_dirs), baseline
+
+
+class _JittedForward:
+    """Shape-keyed cache of jitted SR forwards (one compile per batch shape)."""
+
+    def __init__(self, hrnet: HRNet, params):
+        self.hrnet = hrnet
+        self.params = params
+        self._fn = jax.jit(lambda p, lrs, alphas: self.hrnet.apply({"params": p}, lrs, alphas))
+
+    def __call__(self, lrs: np.ndarray, alphas: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fn(self.params, jnp.asarray(lrs), jnp.asarray(alphas)))
+
+
+def get_sr_and_score(
+    imset: ImageSet | Batch,
+    forward,
+    min_l: int = 16,
+) -> Tuple[np.ndarray, Optional[float]]:
+    """Super-resolve one scene and (if HR exists) its shift_cPSNR."""
+    if isinstance(imset, ImageSet):
+        batch = collate([imset], min_l)
+    else:
+        batch = imset
+    sr = forward(batch.lrs, batch.alphas)[0]
+    score = None
+    if batch.hrs is not None:
+        score = float(
+            shift_cpsnr(
+                jnp.clip(jnp.asarray(sr), 0.0, 1.0),
+                jnp.asarray(batch.hrs[0]),
+                jnp.asarray(batch.hr_maps[0]),
+            )
+        )
+    return sr, score
+
+
+def load_model(config: Dict[str, Any], checkpoint_dir: str):
+    """Build HRNet and load best weights from a run dir.
+
+    Checkpoints store the JOINT {'hrnet', 'shiftnet'} params plus ShiftNet
+    batch stats (see train/checkpoint.py); inference needs the HRNet leg.
+    """
+    from highresnet_tpu.models.shiftnet import ShiftNet
+
+    hrnet = HRNet(config=config["network"])
+    shiftnet = ShiftNet()
+    t = config["training"]
+    min_l = max(t["min_L"], 2)
+    rs = t.get("register_size", 128)
+    hr_dummy = hrnet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, min_l, 16, 16)), jnp.ones((1, min_l))
+    )
+    sn_dummy = shiftnet.init(jax.random.PRNGKey(0), jnp.zeros((1, rs, rs, 2)), train=False)
+    joint_template = {
+        "params": {"hrnet": hr_dummy["params"], "shiftnet": sn_dummy["params"]},
+        "batch_stats": sn_dummy.get("batch_stats", {}),
+    }
+    try:
+        restored = load_params(checkpoint_dir, joint_template)
+        return hrnet, restored["params"]["hrnet"]
+    except ValueError:
+        # HRNet-only checkpoint (e.g. exported weights without ShiftNet)
+        solo_template = {"params": hr_dummy["params"], "batch_stats": {}}
+        restored = load_params(checkpoint_dir, solo_template)
+        return hrnet, restored["params"]
+
+
+def evaluate(forward, datasets: Dict[str, SceneDataset], min_l: int = 16):
+    """Score every scene in every split.
+
+    Returns (scores, clearances, part) dicts keyed by scene name.
+    """
+    scores, clearances, part = {}, {}, {}
+    for split, ds in datasets.items():
+        for imset in ds:
+            sr, sc = get_sr_and_score(imset, forward, min_l=min_l)
+            scores[imset.name] = sc
+            clearances[imset.name] = imset.clearances
+            part[imset.name] = split
+    return scores, clearances, part
+
+
+def benchmark(baseline_cpsnrs, scores, part, clearances):
+    """ESA-ratio results table (pandas when available, dict fallback).
+
+    score = ESA / model per scene; < 1 beats the ESA baseline.
+    """
+    rows = {}
+    for name, sc in scores.items():
+        esa = (baseline_cpsnrs or {}).get(name)
+        rows[name] = {
+            "ESA": esa,
+            "model": sc,
+            "part": part.get(name),
+            "score": (esa / sc) if (esa and sc) else None,
+            "mean_clr": float(np.mean(clearances[name])) if len(clearances[name]) else None,
+            "std_clr": float(np.std(clearances[name])) if len(clearances[name]) else None,
+        }
+    try:
+        import pandas as pd
+
+        return pd.DataFrame(rows).T
+    except ImportError:  # pragma: no cover
+        return rows
+
+
+class Model:
+    """Facade mirroring the reference's predict.Model class."""
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        self.hrnet: Optional[HRNet] = None
+        self.forward = None
+
+    def load_checkpoint(self, checkpoint_dir: str):
+        self.hrnet, params = load_model(self.config, checkpoint_dir)
+        self.forward = _JittedForward(self.hrnet, params)
+
+    def set_params(self, params):
+        """Use in-memory weights (e.g. straight out of training)."""
+        self.hrnet = HRNet(config=self.config["network"])
+        self.forward = _JittedForward(self.hrnet, params)
+
+    def __call__(self, imset):
+        return get_sr_and_score(imset, self.forward, min_l=self.config["training"]["min_L"])
+
+    def evaluate(self, train_dataset, val_dataset, test_dataset, baseline_cpsnrs):
+        scores, clearances, part = evaluate(
+            self.forward,
+            {"train": train_dataset, "val": val_dataset, "test": test_dataset},
+            min_l=self.config["training"]["min_L"],
+        )
+        return benchmark(baseline_cpsnrs, scores, part, clearances)
+
+    def generate_submission_file(self, imset_dataset, out: str = "submission"):
+        from highresnet_tpu.eval.submission import generate_submission_file
+
+        return generate_submission_file(self.forward, imset_dataset, out=out,
+                                        min_l=self.config["training"]["min_L"])

@@ -1,0 +1,71 @@
+"""Joint train state for HRNet + ShiftNet.
+
+One Adam optimizer over the concatenation of both models' parameters
+(reference: a single torch.optim.Adam over both param lists,
+src/train.py:252). The learning rate is injected as a mutable hyperparam so
+the plateau scheduler can lower it without recompiling the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from highresnet_tpu.models.hrnet import HRNet
+from highresnet_tpu.models.shiftnet import ShiftNet
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Dict[str, Any]  # {'hrnet': ..., 'shiftnet': ...}
+    batch_stats: Dict[str, Any]  # ShiftNet BN running stats
+    opt_state: Any
+    rng: jax.Array  # dropout key, split per step
+
+    @property
+    def learning_rate(self):
+        return self.opt_state.hyperparams["learning_rate"]
+
+    def with_learning_rate(self, lr) -> "TrainState":
+        hp = dict(self.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return self.replace(opt_state=self.opt_state._replace(hyperparams=hp))
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def create_train_state(
+    hrnet: HRNet,
+    shiftnet: ShiftNet,
+    config: Dict[str, Any],
+    rng: jax.Array,
+    patch_size: int | None = None,
+) -> TrainState:
+    """Initialize both models and the joint optimizer."""
+    t = config["training"]
+    p = patch_size or t["patch_size"]
+    min_l = t["min_L"]
+    rs = t.get("register_size", 128)
+    k_init, k_drop = jax.random.split(rng)
+
+    hr_vars = hrnet.init(k_init, jnp.zeros((1, max(min_l, 2), p, p)), jnp.ones((1, max(min_l, 2))))
+    sn_vars = shiftnet.init(k_init, jnp.zeros((1, rs, rs, 2)), train=False)
+
+    params = {"hrnet": hr_vars["params"], "shiftnet": sn_vars["params"]}
+    batch_stats = sn_vars.get("batch_stats", {})
+    tx = make_optimizer(t["lr"])
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        rng=k_drop,
+    )

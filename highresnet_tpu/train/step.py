@@ -1,0 +1,174 @@
+"""Compiled train / eval steps.
+
+One XLA program per step. The training protocol mirrors the reference hot
+loop (src/train.py:165-193) with every Python-level loop fused away:
+
+  1. HRNet forward on the full (B, L, h, w) batch.
+  2. ShiftNet registers the SR output against HR ground truth on central
+     128x128 crops — the reference's per-view Python loop is a single
+     batched conv stack here.
+  3. The SR frame is Lanczos-warped by the predicted shift (whole batch in
+     one separable-FMA kernel).
+  4. loss = mean(-cPSNR(warped, hr, border-cropped mask))
+          + lambda * mean(shifts)^2, Adam update over both models jointly.
+
+Sharding: with a mesh, the batch is sharded over the ``data`` axis and
+params are replicated; jit partitions the step and inserts the grad
+all-reduce (ICI psum) automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from highresnet_tpu.models.hrnet import HRNet
+from highresnet_tpu.models.shiftnet import ShiftNet
+from highresnet_tpu.ops.losses import cpsnr_loss, crop_mask
+from highresnet_tpu.ops.lanczos import lanczos_shift
+from highresnet_tpu.ops.metrics import shift_cpsnr_batch
+from highresnet_tpu.train.state import TrainState, make_optimizer
+
+REGISTER_SIZE = 128  # default ShiftNet input crop (torch-compatible fc geometry)
+
+
+def _register_and_warp(
+    shiftnet, sn_params, batch_stats, srs, hrs, offset, dropout_rng, train, register_size=REGISTER_SIZE
+):
+    """Predict one shift per SR image vs HR and Lanczos-warp the SR frame."""
+    b = srs.shape[0]
+    sr_crop = jax.lax.dynamic_slice(
+        srs, (0, offset, offset), (b, register_size, register_size)
+    )
+    hr_crop = jax.lax.dynamic_slice(
+        hrs, (0, offset, offset), (b, register_size, register_size)
+    )
+    pairs = jnp.stack([hr_crop, sr_crop], axis=-1)  # [reference, moving]
+    variables = {"params": sn_params, "batch_stats": batch_stats}
+    if train:
+        thetas, mutated = shiftnet.apply(
+            variables,
+            pairs,
+            train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        new_stats = mutated["batch_stats"]
+    else:
+        thetas = shiftnet.apply(variables, pairs, train=False)
+        new_stats = batch_stats
+    # net predicts (dx, dy); resampler wants (dy, dx)  [ShiftNet contract]
+    warped = lanczos_shift(srs, jnp.flip(thetas, axis=-1))
+    return warped, thetas, new_stats
+
+
+def build_train_step(
+    hrnet: HRNet,
+    shiftnet: ShiftNet,
+    config: Dict[str, Any],
+    mesh: Optional[Mesh] = None,
+):
+    """Returns jitted fn(state, lrs, alphas, hrs, hr_maps) -> (state, metrics)."""
+    t = config["training"]
+    lam = t["lambda"]
+    patch = t["patch_size"]
+    register_size = t.get("register_size", REGISTER_SIZE)
+    offset = (3 * patch - register_size) // 2
+    assert offset >= 0, "3*patch_size must cover the registration crop"
+    border_mask = jnp.asarray(crop_mask(patch, t["crop"]))
+    tx = make_optimizer(t["lr"])
+
+    def loss_fn(params, batch_stats, dropout_rng, lrs, alphas, hrs, hr_maps):
+        srs = hrnet.apply({"params": params["hrnet"]}, lrs, alphas)
+        warped, thetas, new_stats = _register_and_warp(
+            shiftnet, params["shiftnet"], batch_stats, srs, hrs, offset, dropout_rng,
+            train=True, register_size=register_size,
+        )
+        mask = border_mask[None] * hr_maps
+        loss = jnp.mean(-cpsnr_loss(warped, hrs, mask)) + lam * jnp.square(jnp.mean(thetas))
+        return loss, (new_stats, thetas)
+
+    def step(state: TrainState, lrs, alphas, hrs, hr_maps):
+        rng, dropout_rng = jax.random.split(state.rng)
+        (loss, (new_stats, thetas)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, dropout_rng, lrs, alphas, hrs, hr_maps
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        metrics = {
+            "loss": loss,
+            "mean_abs_shift": jnp.mean(jnp.abs(thetas)),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(
+            None,  # state: let jit replicate (params/opt replicated)
+            NamedSharding(mesh, P("data", None, None, None)),
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data", None, None)),
+            NamedSharding(mesh, P("data", None, None)),
+        ),
+    )
+
+
+def build_eval_step(hrnet: HRNet, config: Dict[str, Any], mesh: Optional[Mesh] = None):
+    """Returns jitted fn(params, lrs, alphas, hrs, hr_maps) -> (srs, scores).
+
+    Runs the SR forward and the full 7x7 shift-search cPSNR on device —
+    the reference does the 49-placement search per scene in host NumPy
+    (src/train.py:199-217); here it is one fused program per batch.
+    """
+
+    def step(params, lrs, alphas, hrs, hr_maps):
+        srs = hrnet.apply({"params": params}, lrs, alphas)
+        scores = shift_cpsnr_batch(jnp.clip(srs, 0.0, 1.0), hrs, hr_maps)
+        return srs, scores
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(
+            None,
+            NamedSharding(mesh, P("data", None, None, None)),
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data", None, None)),
+            NamedSharding(mesh, P("data", None, None)),
+        ),
+    )
+
+
+def build_predict_step(hrnet: HRNet, mesh: Optional[Mesh] = None):
+    """SR forward only (test scenes without HR)."""
+
+    def step(params, lrs, alphas):
+        return hrnet.apply({"params": params}, lrs, alphas)
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(
+            None,
+            NamedSharding(mesh, P("data", None, None, None)),
+            NamedSharding(mesh, P("data", None)),
+        ),
+    )

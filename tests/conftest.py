@@ -7,7 +7,6 @@ TPU hardware (SURVEY.md §4): XLA exposes 8 virtual CPU devices, so every
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Force CPU via jax.config: this image's sitecustomize (/root/.axon_site)
+# pins jax_platforms to the axon TPU tunnel, overriding the env var —
+# tests must run on the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: CPU test compiles dominate wall-clock, and
 # they are identical across runs.

@@ -1,0 +1,108 @@
+"""Eval/predict subsystem tests: scene scoring, benchmark table, submission."""
+
+import os
+import zipfile
+
+import jax
+import numpy as np
+import pytest
+
+from highresnet_tpu.data import SceneDataset, discover_scenes
+from highresnet_tpu.data.synth import make_synthetic_dataset
+from highresnet_tpu.eval.evaluator import Model, benchmark, evaluate, get_sr_and_score
+from highresnet_tpu.eval.submission import generate_submission_file
+
+TINY_NET = {
+    "encoder": {"in_channels": 2, "num_layers": 1, "kernel_size": 3, "channel_size": 8},
+    "recursive": {"alpha_residual": True, "in_channels": 8, "kernel_size": 3},
+    "decoder": {
+        "deconv": {"in_channels": 8, "kernel_size": 3, "stride": 3, "out_channels": 8},
+        "final": {"in_channels": 8, "kernel_size": 1, "out_channels": 1},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def eval_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evalset")
+    make_synthetic_dataset(str(root), n_scenes_per_channel=1, n_views=4, lr_size=16, seed=3)
+    config = {
+        "paths": {"prefix": str(root)},
+        "network": TINY_NET,
+        "training": {"min_L": 4, "patch_size": 16},
+    }
+    model = Model(config)
+    # init fresh params (we're testing the eval plumbing, not quality)
+    from highresnet_tpu.models import HRNet
+    import jax.numpy as jnp
+
+    hrnet = HRNet(config=TINY_NET)
+    v = hrnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16, 16)), jnp.ones((1, 4)))
+    model.set_params(v["params"])
+    return root, config, model
+
+
+def test_get_sr_and_score(eval_env):
+    root, config, model = eval_env
+    ds = SceneDataset(discover_scenes(f"{root}/train"), top_k=-1)
+    sr, score = model(ds[0])
+    assert sr.shape == (48, 48)
+    assert score is not None and np.isfinite(score)
+
+
+def test_score_is_none_without_hr(eval_env):
+    root, config, model = eval_env
+    ds = SceneDataset(discover_scenes(f"{root}/test"), top_k=-1)
+    sr, score = model(ds[0])
+    assert sr.shape == (48, 48)
+    assert score is None
+
+
+def test_evaluate_and_benchmark(eval_env):
+    root, config, model = eval_env
+    train_ds = SceneDataset(discover_scenes(f"{root}/train"), top_k=-1)
+    scores, clearances, part = evaluate(model.forward, {"train": train_ds}, min_l=4)
+    assert len(scores) == 2
+    from highresnet_tpu.data import read_baseline_cpsnr
+
+    baseline = read_baseline_cpsnr(f"{root}/norm.csv")
+    table = benchmark(baseline, scores, part, clearances)
+    # pandas DataFrame with a score column = ESA/model
+    name = next(iter(scores))
+    row = table.loc[name] if hasattr(table, "loc") else table[name]
+    assert row["score"] == pytest.approx(baseline[name] / scores[name])
+
+
+def test_submission_zip(eval_env, tmp_path):
+    root, config, model = eval_env
+    test_ds = SceneDataset(discover_scenes(f"{root}/test"), top_k=-1)
+    out = str(tmp_path / "submission")
+    archive = generate_submission_file(model.forward, test_ds, out=out, min_l=4)
+    assert os.path.isfile(archive)
+    with zipfile.ZipFile(archive) as zf:
+        names = zf.namelist()
+    assert len(names) == 2  # 2 test scenes
+    assert all(n.startswith("imgset") and n.endswith(".png") for n in names)
+    # PNGs are 16-bit
+    from highresnet_tpu.utils.imageio import imread_u16
+
+    png = [f for f in os.listdir(out) if f.endswith(".png")][0]
+    img = imread_u16(os.path.join(out, png))
+    assert img.dtype == np.uint16 and img.shape == (48, 48)
+
+
+def test_checkpoint_roundtrip_via_model(eval_env, tmp_path):
+    """save_best -> Model.load_checkpoint restores identical outputs."""
+    root, config, model = eval_env
+    from highresnet_tpu.train.checkpoint import CheckpointManager
+
+    run_dir = str(tmp_path / "run")
+    ck = CheckpointManager(run_dir)
+    ck.save_best(model.forward.params, {}, score=1.0)
+
+    m2 = Model(config)
+    m2.load_checkpoint(run_dir)
+    ds = SceneDataset(discover_scenes(f"{root}/train"), top_k=-1)
+    sr1, _ = model(ds[0])
+    sr2, _ = m2(ds[0])
+    np.testing.assert_allclose(sr1, sr2, atol=0)

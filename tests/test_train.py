@@ -1,0 +1,151 @@
+"""Training subsystem tests: scheduler parity, step correctness, e2e smoke,
+checkpoint resume. Uses a shrunken config (tiny register crop + channels)
+because this container has one CPU core."""
+
+import numpy as np
+import pytest
+
+from highresnet_tpu.config import load_config
+from highresnet_tpu.train.schedule import ReduceLROnPlateau
+
+TINY_CONFIG = {
+    "network": {
+        "encoder": {"in_channels": 2, "num_layers": 1, "kernel_size": 3, "channel_size": 8},
+        "recursive": {"alpha_residual": True, "in_channels": 8, "kernel_size": 3},
+        "decoder": {
+            "deconv": {"in_channels": 8, "kernel_size": 3, "stride": 3, "out_channels": 8},
+            "final": {"in_channels": 8, "kernel_size": 1, "out_channels": 1},
+        },
+    },
+    "training": {
+        "batch_size": 2,
+        "min_L": 4,
+        "n_views": 4,
+        "crop": 1,
+        "lr": 1e-3,
+        "lr_step": 2,
+        "lr_decay": 0.97,
+        "beta": 50.0,
+        "create_patches": True,
+        "patch_size": 16,
+        "register_size": 32,
+        "val_proportion": 0.34,
+        "lambda": 1e-6,
+        "num_epochs": 1,
+        "n_workers": 2,
+        "seed": 0,
+        "eval_batch_size": 2,
+    },
+    "paths": {"prefix": "", "checkpoint_dir": "", "tb_log_file_dir": ""},
+}
+
+
+def test_plateau_matches_torch():
+    torch = pytest.importorskip("torch")
+    values = [10.0, 9.0, 9.5, 9.4, 9.3, 9.2, 8.0, 8.1, 8.2, 8.3, 8.4, 7.0]
+
+    mine = ReduceLROnPlateau(0.1, factor=0.5, patience=2)
+    mine_lrs = [mine.step(v) for v in values]
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, mode="min", factor=0.5, patience=2)
+    torch_lrs = []
+    for v in values:
+        sched.step(v)
+        torch_lrs.append(opt.param_groups[0]["lr"])
+
+    np.testing.assert_allclose(mine_lrs, torch_lrs)
+
+
+@pytest.fixture(scope="module")
+def train_root(tmp_path_factory):
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("trainset")
+    make_synthetic_dataset(
+        str(root), n_scenes_per_channel=2, n_views=5, lr_size=24, seed=0, splits=("train",)
+    )
+    return str(root)
+
+
+def _tiny_config(train_root, tmp_path):
+    import copy
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["paths"]["prefix"] = str(train_root)
+    cfg["paths"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+    cfg["paths"]["tb_log_file_dir"] = ""
+    return cfg
+
+
+def test_train_step_descends(train_root, tmp_path):
+    """A few steps on one batch must reduce the loss (joint model learns)."""
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    scenes = discover_scenes(f"{train_root}/train")
+    loader = BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )
+    batch = next(iter(loader))
+
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
+    step = build_train_step(hrnet, shiftnet, cfg)
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_train_e2e_and_resume(train_root, tmp_path):
+    """Full orchestration: train 1 epoch, checkpoint, resume for another."""
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    cfg = _tiny_config(train_root, tmp_path)
+    run_dir = str(tmp_path / "run")
+    out = train_and_get_best_model(cfg, run_dir=run_dir)
+    assert np.isfinite(out["best_score"])
+    first_best = out["best_score"]
+
+    # resume: epoch counter continues, best score only improves
+    cfg["training"]["num_epochs"] = 2
+    out2 = train_and_get_best_model(cfg, run_dir=run_dir)
+    assert out2["best_score"] <= first_best + 1e-9
+
+    import os
+
+    assert os.path.isdir(os.path.join(run_dir, "best"))
+    assert os.path.isfile(os.path.join(run_dir, "host_state.json"))
+
+
+def test_eval_step_scores(train_root, tmp_path):
+    import jax
+
+    from highresnet_tpu.data import collate, discover_scenes, read_imageset
+    from highresnet_tpu.models import HRNet
+    from highresnet_tpu.train.step import build_eval_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    hrnet = HRNet(config=cfg["network"])
+    scenes = discover_scenes(f"{train_root}/train")
+    sets = [read_imageset(d, top_k=4, beta=0.0) for d in scenes[:2]]
+    batch = collate(sets, 4)
+    variables = hrnet.init(jax.random.PRNGKey(0), batch.lrs, batch.alphas)
+    eval_step = build_eval_step(hrnet, cfg)
+    srs, scores = eval_step(variables["params"], batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+    assert srs.shape == (2, 72, 72)
+    assert scores.shape == (2,)
+    assert np.isfinite(np.asarray(scores)).all()
