@@ -60,21 +60,37 @@ def _grid(bounds_y, bounds_x, points_per_dim: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("points_per_dim",))
-def _mncc_grid_scores(norm_ref, ref_mask, template, template_mask, center, width, points_per_dim):
-    """Masked-NCC scores for the whole grid in one program. Higher = better."""
+def _mncc_grid_scores(ref, ref_mask, template, template_mask, center, width, points_per_dim):
+    """True masked-NCC scores for the whole grid in one program. Higher = better.
+
+    Divergence from the reference (intentional fix): the reference
+    pre-normalizes the reference image under the FULL ref mask
+    (registration_search.py:173-193), which yields pseudo-correlations > 1
+    when the candidate warp moves the combined-mask boundary, and the
+    search can lock onto mask artifacts instead of alignment. Here BOTH
+    images are normalized under each candidate's combined mask — the exact
+    masked NCC — at the cost of two extra fused reductions per candidate.
+    """
     bounds_y = (center[0] - width / 2, center[0] + width / 2)
     bounds_x = (center[1] - width / 2, center[1] + width / 2)
     shifts = _grid(bounds_y, bounds_x, points_per_dim)
     warped, wmasks = shift_template_batch(template, template_mask, shifts)
     combined = ref_mask[None] * wmasks  # (N, H, W)
     wsum = jnp.sum(combined, axis=(1, 2))
-    mu = jnp.sum(warped * combined, axis=(1, 2)) / wsum
-    sig = jnp.sqrt(
-        jnp.sum(combined * jnp.square(warped - mu[:, None, None]), axis=(1, 2)) / wsum
+    mu_r = jnp.sum(ref[None] * combined, axis=(1, 2)) / wsum
+    sig_r = jnp.sqrt(
+        jnp.sum(combined * jnp.square(ref[None] - mu_r[:, None, None]), axis=(1, 2)) / wsum
     )
-    norm_t = (warped - mu[:, None, None]) / sig[:, None, None]
-    mncc = jnp.sum(combined * norm_ref[None] * norm_t, axis=(1, 2)) / wsum
-    mncc = jnp.where((wsum > 0) & (sig > 0), mncc, -jnp.inf)
+    mu_t = jnp.sum(warped * combined, axis=(1, 2)) / wsum
+    sig_t = jnp.sqrt(
+        jnp.sum(combined * jnp.square(warped - mu_t[:, None, None]), axis=(1, 2)) / wsum
+    )
+    cov = (
+        jnp.sum(combined * (ref[None] - mu_r[:, None, None]) * (warped - mu_t[:, None, None]), axis=(1, 2))
+        / wsum
+    )
+    mncc = cov / (sig_r * sig_t)
+    mncc = jnp.where((wsum > 0) & (sig_r > 0) & (sig_t > 0), mncc, -jnp.inf)
     return shifts, mncc
 
 
@@ -102,11 +118,13 @@ def compute_shift_ncc(
     if wsum == 0:
         return 0.0, 0.0
     ref = jnp.asarray(ref_image, jnp.float32)
-    mu = float(jnp.sum(ref * ref_mask_f)) / wsum
-    sig = float(jnp.sqrt(jnp.sum(ref_mask_f * jnp.square(ref - mu)) / wsum))
+    sig = float(
+        jnp.sqrt(
+            jnp.sum(ref_mask_f * jnp.square(ref - jnp.sum(ref * ref_mask_f) / wsum)) / wsum
+        )
+    )
     if sig == 0:
         return 0.0, 0.0
-    norm_ref = (ref - mu) / sig
 
     sf = _scale_factor(points_per_dim, minus=2)
     template = jnp.asarray(template_image, jnp.float32)
@@ -116,7 +134,7 @@ def compute_shift_ncc(
     for level in range(max_recursions):
         width = jnp.float32(2.0 * sf**level)
         shifts, scores = _mncc_grid_scores(
-            norm_ref, ref_mask_f, template, tmask, best, width, points_per_dim
+            ref, ref_mask_f, template, tmask, best, width, points_per_dim
         )
         best = shifts[jnp.argmax(scores)]
     dy, dx = np.asarray(best)
@@ -153,22 +171,25 @@ def compute_shift_with_metric(
             points_per_dim,
         )
         warped, wmasks = shift_template_batch(template, tmask, shifts)
+        # metrics take (ref, mov, ref_mask, mov_mask) positionally (both this
+        # package's metrics and reference-style ones)
         try:
-            scores = jax.vmap(
-                lambda w, m: metric_fn(
-                    ref_image=ref, mov_image=w, ref_mask=rmask, mov_mask=m, **metric_kwargs
+            scores = jnp.asarray(
+                jax.vmap(lambda w, m: metric_fn(ref, w, rmask, m, **metric_kwargs))(
+                    warped, wmasks
                 )
-            )(warped, wmasks)
-            scores = jnp.asarray(scores)
+            )
         except Exception:
+            # non-traceable metric (host NumPy): per-candidate fallback,
+            # still with batched device warps
             scores = jnp.asarray(
                 [
                     float(
                         metric_fn(
-                            ref_image=np.asarray(ref),
-                            mov_image=np.asarray(warped[i]),
-                            ref_mask=np.asarray(rmask),
-                            mov_mask=np.asarray(wmasks[i]),
+                            np.asarray(ref),
+                            np.asarray(warped[i]),
+                            np.asarray(rmask),
+                            np.asarray(wmasks[i]),
                             **metric_kwargs,
                         )
                     )
@@ -257,6 +278,15 @@ def _pcc(ref: jax.Array, mov: jax.Array, upsample_factor: int = 1000) -> jax.Arr
     fr = jnp.fft.fft2(ref)
     fm = jnp.fft.fft2(mov)
     cross = fr * jnp.conj(fm)
+    # phase normalization (whitening) — the standard "phase" correlation;
+    # without it, low-passed imagery yields a flat, unreliable peak
+    cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    # zero the Nyquist row/col: under non-integer shifts of real images they
+    # are conjugate-asymmetric and, once whitened, bias the sub-pixel peak
+    if h % 2 == 0:
+        cross = cross.at[h // 2, :].set(0)
+    if w % 2 == 0:
+        cross = cross.at[:, w // 2].set(0)
     cc = jnp.fft.ifft2(cross)
     peak = jnp.argmax(jnp.abs(cc))
     py, px = peak // w, peak % w

@@ -111,12 +111,19 @@ def test_masked_mi(field):
     assert cross_mi >= 1.0 - 1e-6  # NMI lower bound
 
 
+def _border_mask(shape, border=3):
+    m = np.zeros(shape, np.float32)
+    m[border:-border, border:-border] = 1.0
+    return m
+
+
 def test_compute_shift_ncc_recovers_known_shift(field):
     from highresnet_tpu.registration.search import compute_shift_ncc
 
     true = (0.7, -0.4)
     shifted = ndi_shift(field, true, mode="constant", order=3)
-    mask = np.ones_like(field)
+    # the warped-in zero border must be masked invalid (as Proba-V QM maps do)
+    mask = _border_mask(field.shape)
     dy, dx = compute_shift_ncc(field, shifted, mask, mask, points_per_dim=5, max_recursions=6)
     # search convention: applying (dy, dx) to the template aligns it to ref
     assert dy == pytest.approx(-true[0], abs=0.06)
@@ -129,7 +136,7 @@ def test_compute_shift_with_metric_mse(field):
 
     true = (-0.5, 0.8)
     shifted = ndi_shift(field, true, mode="constant", order=3)
-    mask = np.ones_like(field)
+    mask = _border_mask(field.shape)
     dy, dx = compute_shift_with_metric(
         mse, minimize=True, ref_image=field, template_image=shifted,
         ref_mask=mask, template_mask=mask, points_per_dim=5, max_recursions=6,
@@ -138,15 +145,20 @@ def test_compute_shift_with_metric_mse(field):
     assert dx == pytest.approx(-0.8, abs=0.06)
 
 
-def test_compute_shift_pcc(field):
+def test_compute_shift_pcc():
     from highresnet_tpu.registration.search import compute_shift_pcc
 
+    # broadband image + exact Fourier-domain shift (the PCC model)
+    rng = np.random.default_rng(7)
+    img = rng.random((48, 48)).astype(np.float64)
     true = (1.3, -0.6)
-    # circular shift (FFT assumption); integer+fraction via scipy wrap mode
-    shifted = ndi_shift(field, true, mode="wrap", order=3)
-    dy, dx = compute_shift_pcc(field, shifted)
-    assert dy == pytest.approx(-true[0], abs=0.05)
-    assert dx == pytest.approx(-true[1], abs=0.05)
+    f = np.fft.fft2(img)
+    fy = np.fft.fftfreq(48)[:, None]
+    fx = np.fft.fftfreq(48)[None, :]
+    shifted = np.real(np.fft.ifft2(f * np.exp(-2j * np.pi * (fy * true[0] + fx * true[1]))))
+    dy, dx = compute_shift_pcc(img, shifted)
+    assert dy == pytest.approx(-true[0], abs=0.01)
+    assert dx == pytest.approx(-true[1], abs=0.01)
 
 
 def test_compute_shift_point_matching():
