@@ -4,13 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
 
 Baseline derivation: the reference reports < 0.2 s/scene for 3x SR of 32
-LR views @128x128 on one V100 (paper txt:580-583), i.e. 5 scenes/sec at
-32 views. The tracked metric uses 16 views; encoder cost is linear in L,
-so the V100-equivalent baseline is taken as 10 scenes/sec. vs_baseline is
-therefore value / 10.0 — and >= 5.0 is the north-star target.
+LR views @128x128 on one V100 (paper txt:580-583), i.e. 5 scenes/sec at 32
+views. The tracked metric uses 16 views; encoder cost is linear in L, so
+the V100-equivalent baseline is taken as 10 scenes/sec; vs_baseline =
+value / 10.0 (>= 5.0 is the north-star target).
 
-Detailed numbers (more configs, step time, compile time) go to
-BENCH_DETAILS.json.
+Timing protocol: this TPU is reached through a relay where
+block_until_ready is not a true sync and scalar readbacks cost ~1 s RTT,
+so naive timing is wrong in both directions. We enqueue K1 and K2 steps
+(each reduced to a scalar on device), read back one scalar each, and take
+(T2 - T1) / (K2 - K1) — fixed dispatch/readback overhead cancels.
+
+Details (all configs, compile times) go to BENCH_DETAILS.json.
 """
 
 import json
@@ -23,48 +28,58 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    platform = jax.default_backend()
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{platform}")
 
     from highresnet_tpu.config import DEFAULT_CONFIG
     from highresnet_tpu.models.hrnet import HRNet
 
     hrnet = HRNet(config=DEFAULT_CONFIG["network"])
 
-    def bench_config(batch, views, size, iters=20, warmup=3):
+    def bench_config(batch, views, size, dtype=jnp.float32, k1=5, k2=25):
         rng = np.random.default_rng(0)
-        lrs = jnp.asarray(rng.random((batch, views, size, size)), jnp.float32)
-        alphas = jnp.ones((batch, views), jnp.float32)
+        lrs = jnp.asarray(rng.random((batch, views, size, size)), dtype)
+        alphas = jnp.ones((batch, views), dtype)
         variables = hrnet.init(jax.random.PRNGKey(0), lrs, alphas)
-        fwd = jax.jit(lambda p, x, a: hrnet.apply({"params": p}, x, a))
+        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), variables["params"])
+
+        @jax.jit
+        def fwd_sum(p, x, a):
+            return jnp.sum(hrnet.apply({"params": p}, x, a).astype(jnp.float32))
 
         t0 = time.perf_counter()
-        out = fwd(variables["params"], lrs, alphas)
-        out.block_until_ready()
+        float(fwd_sum(params, lrs, alphas))
         compile_time = time.perf_counter() - t0
+        float(fwd_sum(params, lrs, alphas))  # second warmup
 
-        for _ in range(warmup):
-            fwd(variables["params"], lrs, alphas).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(variables["params"], lrs, alphas)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+        def run_k(k):
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(k):
+                y = fwd_sum(params, lrs, alphas)
+            float(y)  # single tiny readback drains the queue
+            return time.perf_counter() - t0
+
+        t1, t2 = run_k(k1), run_k(k2)
+        step = (t2 - t1) / (k2 - k1)
         return {
             "batch": batch,
             "views": views,
             "lr_size": size,
-            "step_time_s": dt,
-            "scenes_per_sec": batch / dt,
+            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "step_time_s": step,
+            "scenes_per_sec": batch / step,
             "compile_time_s": compile_time,
         }
 
-    device = jax.devices()[0]
-    details = {"device": str(device), "configs": []}
+    details = {"device": str(jax.devices()[0]), "configs": []}
 
     headline = bench_config(batch=8, views=16, size=128)
     details["configs"].append(headline)
-    # the published-config point (32 views @128): baseline 5 scenes/sec
+    # published-config point (32 views @128, V100 baseline 5 scenes/sec)
     details["configs"].append(bench_config(batch=4, views=32, size=128))
+    # bfloat16 variant of the headline
+    details["configs"].append(bench_config(batch=8, views=16, size=128, dtype=jnp.bfloat16))
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import copy
 import json
+import os
 import warnings
 from typing import Any, Dict
 
@@ -60,6 +61,43 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "checkpoint_every": 0,  # extra periodic checkpointing (0 = best-only)
     },
 }
+
+
+# Registration-toolkit config (the reference's root config.json schema:
+# image/mask paths, accumulated deltas, arrow-key step sizes).
+DEFAULT_REGISTRATION_CONFIG: Dict[str, Any] = {
+    "reference_image": "",
+    "reference_mask": "",
+    "template_image": "",
+    "template_mask": "",
+    "current_deltax": 0.0,
+    "current_deltay": 0.0,
+    "shift_step_x": 0.05,
+    "shift_step_y": 0.05,
+}
+
+
+def load_registration_config(path: str = "config.json") -> Dict[str, Any]:
+    """Load the registration toolkit config merged over its defaults.
+
+    Missing file -> defaults; unknown keys warn and are ignored
+    (reference: registration_helpers.py:21-43).
+    """
+    cfg = dict(DEFAULT_REGISTRATION_CONFIG)
+    if not os.path.exists(path):
+        warnings.warn(f"registration config {path!r} not found; using defaults")
+        return cfg
+    with open(path) as f:
+        try:
+            user = json.load(f)
+        except json.JSONDecodeError as e:
+            warnings.warn(f"invalid registration config JSON ({e}); using defaults")
+            return cfg
+    unknown = set(user) - set(DEFAULT_REGISTRATION_CONFIG)
+    if unknown:
+        warnings.warn(f"Unknown registration config fields ignored: {unknown}")
+    cfg.update({k: v for k, v in user.items() if k in DEFAULT_REGISTRATION_CONFIG})
+    return cfg
 
 
 def _merge(base: Dict[str, Any], override: Dict[str, Any], path: str = "") -> Dict[str, Any]:
