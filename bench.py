@@ -34,14 +34,13 @@ def main():
     from highresnet_tpu.config import DEFAULT_CONFIG
     from highresnet_tpu.models.hrnet import HRNet
 
-    hrnet = HRNet(config=DEFAULT_CONFIG["network"])
-
     def bench_config(batch, views, size, dtype=jnp.float32, k1=5, k2=25):
+        hrnet = HRNet(config=DEFAULT_CONFIG["network"], dtype=dtype)
         rng = np.random.default_rng(0)
-        lrs = jnp.asarray(rng.random((batch, views, size, size)), dtype)
-        alphas = jnp.ones((batch, views), dtype)
+        lrs = jnp.asarray(rng.random((batch, views, size, size)), jnp.float32)
+        alphas = jnp.ones((batch, views), jnp.float32)
         variables = hrnet.init(jax.random.PRNGKey(0), lrs, alphas)
-        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), variables["params"])
+        params = variables["params"]  # params stay f32; compute in `dtype`
 
         @jax.jit
         def fwd_sum(p, x, a):

@@ -93,9 +93,10 @@ def load_model(config: Dict[str, Any], checkpoint_dir: str):
     """
     from highresnet_tpu.models.shiftnet import ShiftNet
 
-    hrnet = HRNet(config=config["network"])
-    shiftnet = ShiftNet()
     t = config["training"]
+    dtype = jnp.bfloat16 if t.get("compute_dtype") == "bfloat16" else jnp.float32
+    hrnet = HRNet(config=config["network"], dtype=dtype)
+    shiftnet = ShiftNet()
     min_l = max(t["min_L"], 2)
     rs = t.get("register_size", 128)
     hr_dummy = hrnet.init(

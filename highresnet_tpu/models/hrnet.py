@@ -60,13 +60,14 @@ class ResidualBlock(nn.Module):
 
     channels: int = 64
     kernel_size: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = (self.kernel_size, self.kernel_size)
-        h = nn.Conv(self.channels, k, padding="SAME", name="conv0")(x)
+        h = nn.Conv(self.channels, k, padding="SAME", dtype=self.dtype, name="conv0")(x)
         h = PReLU(name="prelu0")(h)
-        h = nn.Conv(self.channels, k, padding="SAME", name="conv1")(h)
+        h = nn.Conv(self.channels, k, padding="SAME", dtype=self.dtype, name="conv1")(h)
         h = PReLU(name="prelu1")(h)
         return x + h
 
@@ -78,15 +79,16 @@ class Encoder(nn.Module):
     channels: int = 64
     num_layers: int = 2
     kernel_size: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = (self.kernel_size, self.kernel_size)
-        x = nn.Conv(self.channels, k, padding="SAME", name="init_conv")(x)
+        x = nn.Conv(self.channels, k, padding="SAME", dtype=self.dtype, name="init_conv")(x)
         x = PReLU(name="init_prelu")(x)
         for i in range(self.num_layers):
-            x = ResidualBlock(self.channels, self.kernel_size, name=f"res{i}")(x)
-        x = nn.Conv(self.channels, k, padding="SAME", name="final_conv")(x)
+            x = ResidualBlock(self.channels, self.kernel_size, dtype=self.dtype, name=f"res{i}")(x)
+        x = nn.Conv(self.channels, k, padding="SAME", dtype=self.dtype, name="final_conv")(x)
         return x
 
 
@@ -104,6 +106,7 @@ class FusionNet(nn.Module):
     channels: int = 64
     kernel_size: int = 3
     alpha_residual: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, alphas: jax.Array) -> jax.Array:
@@ -112,8 +115,8 @@ class FusionNet(nn.Module):
         k = (self.kernel_size, self.kernel_size)
         fuse = nn.Sequential(
             [
-                ResidualBlock(2 * self.channels, self.kernel_size, name="fuse_res"),
-                nn.Conv(self.channels, k, padding="SAME", name="fuse_conv"),
+                ResidualBlock(2 * self.channels, self.kernel_size, dtype=self.dtype, name="fuse_res"),
+                nn.Conv(self.channels, k, padding="SAME", dtype=self.dtype, name="fuse_conv"),
                 PReLU(name="fuse_prelu"),
             ]
         )
@@ -154,6 +157,7 @@ class Decoder(nn.Module):
     out_channels: int = 1
     scale: int = 3
     final_kernel: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -178,7 +182,7 @@ class Decoder(nn.Module):
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, s * h, s * w, self.channels)
         y = PReLU(name="deconv_prelu")(y)
         fk = (self.final_kernel, self.final_kernel)
-        y = nn.Conv(self.out_channels, fk, padding="SAME", name="final_conv")(y)
+        y = nn.Conv(self.out_channels, fk, padding="SAME", dtype=self.dtype, name="final_conv")(y)
         return y
 
 
@@ -193,6 +197,7 @@ class HRNet(nn.Module):
     """
 
     config: Dict[str, Any] | None = None
+    dtype: Any = jnp.float32
 
     def setup(self):
         cfg = self.config or {}
@@ -204,11 +209,13 @@ class HRNet(nn.Module):
             channels=enc.get("channel_size", 64),
             num_layers=enc.get("num_layers", 2),
             kernel_size=enc.get("kernel_size", 3),
+            dtype=self.dtype,
         )
         self.fuse = FusionNet(
             channels=rec.get("in_channels", 64),
             kernel_size=rec.get("kernel_size", 3),
             alpha_residual=rec.get("alpha_residual", True),
+            dtype=self.dtype,
         )
         dd = dec.get("deconv", {})
         df = dec.get("final", {})
@@ -217,6 +224,7 @@ class HRNet(nn.Module):
             out_channels=df.get("out_channels", 1),
             scale=dd.get("stride", 3),
             final_kernel=df.get("kernel_size", 1),
+            dtype=self.dtype,
         )
 
     def __call__(self, lrs: jax.Array, alphas: jax.Array) -> jax.Array:
@@ -224,13 +232,14 @@ class HRNet(nn.Module):
         refs = lower_median(lrs[:, : min(9, l)], axis=1)  # (B, H, W)
         refs = jnp.broadcast_to(refs[:, None], (b, l, h, w))
         x = jnp.stack([lrs, refs], axis=-1)  # (B, L, H, W, 2)
+        x = x.astype(self.dtype)
 
         states = self.encode(x.reshape(b * l, h, w, 2))
         states = states.reshape(b, l, h, w, -1)
 
-        fused = self.fuse(states, alphas)  # (B, H, W, C)
+        fused = self.fuse(states, alphas.astype(states.dtype))  # (B, H, W, C)
         sr = self.decode(fused)  # (B, 3H, 3W, 1)
-        return sr[..., 0]
+        return sr[..., 0].astype(jnp.float32)
 
 
 def param_count(params) -> int:

@@ -20,6 +20,8 @@ TPU-first notes:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -29,18 +31,21 @@ from highresnet_tpu.ops.lanczos import lanczos_shift
 
 class ShiftNet(nn.Module):
     in_channels: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """x: (B, H, W, 2*in_channels) image pairs -> (B, 2) translations."""
         x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+        x = x.astype(self.dtype)
 
         def block(h, features, idx, pool):
-            h = nn.Conv(features, (3, 3), padding="SAME", name=f"conv{idx}")(h)
+            h = nn.Conv(features, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{idx}")(h)
             h = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=self.dtype,
                 name=f"bn{idx}",
             )(h)
             h = nn.relu(h)
@@ -58,10 +63,12 @@ class ShiftNet(nn.Module):
         x = x.transpose(0, 3, 1, 2).reshape(b, -1)
 
         x = nn.Dropout(rate=0.5, deterministic=not train)(x)
-        x = nn.Dense(1024, name="fc1")(x)
+        x = nn.Dense(1024, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)
-        x = nn.Dense(2, use_bias=False, kernel_init=nn.initializers.zeros, name="fc2")(x)
-        return x
+        x = nn.Dense(
+            2, use_bias=False, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="fc2"
+        )(x)
+        return x.astype(jnp.float32)
 
 
 def register_views(

@@ -131,8 +131,11 @@ def train_and_get_best_model(
     )
 
     # --- models / state -------------------------------------------------------
-    hrnet = HRNet(config=config["network"])
-    shiftnet = ShiftNet()
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if t.get("compute_dtype") == "bfloat16" else jnp.float32
+    hrnet = HRNet(config=config["network"], dtype=dtype)
+    shiftnet = ShiftNet(dtype=dtype)
     state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
 
     train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh)

@@ -1,0 +1,57 @@
+"""Profiling & numerical-debugging hooks (SURVEY.md §5 aux subsystems).
+
+The reference's only tooling is line_profiler in a notebook and a
+permanently-enabled torch anomaly detector (src/train.py:156). Here:
+
+- ``trace(dir)``: context manager around jax.profiler — produces a
+  Perfetto/XProf trace of device execution.
+- ``timed(fn)``: wall-clock timing helper that really syncs (works around
+  relay backends where block_until_ready is advisory, by forcing a tiny
+  readback).
+- ``enable_nan_debugging()``: jax_debug_nans — the reference's
+  detect_anomaly equivalent, behind a flag instead of always-on.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax_trace", create_perfetto_link: bool = False):
+    """Profile device execution: `with trace("/tmp/t"): run_steps()`."""
+    jax.profiler.start_trace(log_dir, create_perfetto_link=create_perfetto_link)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def sync(tree) -> None:
+    """True device sync: reads one scalar back (relay-safe)."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "dtype")]
+    if leaves:
+        float(jnp.sum(leaves[0].ravel()[0]))
+
+
+def timed(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kwargs):
+    """(mean_seconds, last_result) with relay-safe synchronization."""
+    result = None
+    for _ in range(warmup):
+        result = fn(*args, **kwargs)
+    sync(result)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        result = fn(*args, **kwargs)
+    sync(result)
+    return (time.perf_counter() - t0) / iters, result
+
+
+def enable_nan_debugging(enable: bool = True) -> None:
+    """NaN tripwire for every jitted computation (costly; debug only)."""
+    jax.config.update("jax_debug_nans", enable)
