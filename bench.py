@@ -71,6 +71,56 @@ def main():
             "compile_time_s": compile_time,
         }
 
+    def bench_train_step(batch=32, views=32, patch=64, k1=3, k2=13):
+        """Full training step: SR forward + ShiftNet registration + Lanczos
+        warp + registered cPSNR loss + joint Adam backward (config #3)."""
+        import copy
+
+        from highresnet_tpu.models.shiftnet import ShiftNet
+        from highresnet_tpu.train.state import create_train_state
+        from highresnet_tpu.train.step import build_train_step
+
+        cfg = copy.deepcopy(DEFAULT_CONFIG)
+        cfg["training"].update({"batch_size": batch, "n_views": views, "min_L": views,
+                                "patch_size": patch})
+        hrnet = HRNet(config=cfg["network"])
+        shiftnet = ShiftNet()
+        state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
+        step = build_train_step(hrnet, shiftnet, cfg)
+        rng = np.random.default_rng(0)
+        args = (
+            jnp.asarray(rng.random((batch, views, patch, patch)), jnp.float32),
+            jnp.ones((batch, views), jnp.float32),
+            jnp.asarray(rng.random((batch, 3 * patch, 3 * patch)), jnp.float32),
+            jnp.ones((batch, 3 * patch, 3 * patch), jnp.float32),
+        )
+        t0 = time.perf_counter()
+        state, m = step(state, *args)
+        compile_time = time.perf_counter() - t0
+        float(m["loss"])
+
+        def run_k(k):
+            nonlocal state
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(k):
+                state, m = step(state, *args)
+            float(m["loss"])
+            return time.perf_counter() - t0
+
+        t1, t2 = run_k(k1), run_k(k2)
+        dt = (t2 - t1) / (k2 - k1)
+        return {
+            "kind": "train_step",
+            "batch": batch,
+            "views": views,
+            "patch": patch,
+            "step_time_s": dt,
+            "scenes_per_sec": batch / dt,
+            "compile_time_s": compile_time,
+            "projected_400epoch_1160scene_hours": 400 * 1160 / (batch / dt) / 3600,
+        }
+
     details = {"device": str(jax.devices()[0]), "configs": []}
 
     headline = bench_config(batch=8, views=16, size=128)
@@ -79,6 +129,8 @@ def main():
     details["configs"].append(bench_config(batch=4, views=32, size=128))
     # bfloat16 variant of the headline
     details["configs"].append(bench_config(batch=8, views=16, size=128, dtype=jnp.bfloat16))
+    # full training step (reference: 400 epochs < 9 h on V100)
+    details["configs"].append(bench_train_step())
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -124,29 +124,43 @@ def read_imageset(
 
     top_k > 0: sample that many views ∝ clearance (training).
     top_k None/-1: load all views sorted by clearance, descending (eval).
+
+    When a packed.npz cache exists (data/pack.py), assets come from one
+    decode-free buffer read instead of per-view PNG decodes.
     """
     rng = rng or np.random.default_rng()
-    ids = _view_ids(scene_dir)
-    clearances = load_clearances(scene_dir, len(ids))
+
+    from highresnet_tpu.data.pack import load_pack
+
+    pack = load_pack(scene_dir)
+    if pack is not None:
+        clearances = pack["clearances"]
+    else:
+        ids = _view_ids(scene_dir)
+        clearances = load_clearances(scene_dir, len(ids))
 
     if top_k is not None and top_k > 0:
-        k = min(top_k, len(ids))
+        k = min(top_k, len(clearances))
         sel = sample_clearest(clearances, n=k, beta=beta, rng=rng)
     else:
         sel = np.argsort(clearances)[::-1]
-    ids = ids[sel]
     clearances = clearances[sel]
 
-    lr = np.stack([imread_u16(join(scene_dir, f"LR{i}.png")) for i in ids]).astype(np.uint16)
-
-    hr_map = None
-    sm_path = join(scene_dir, "SM.png")
-    if exists(sm_path):
-        hr_map = (imread_u16(sm_path) > 0).astype(np.float32)
-    hr = None
-    hr_path = join(scene_dir, "HR.png")
-    if exists(hr_path):
-        hr = imread_u16(hr_path).astype(np.uint16)
+    if pack is not None:
+        lr = pack["lr"][sel]
+        hr_map = pack["sm"].astype(np.float32) if "sm" in pack else None
+        hr = pack["hr"] if "hr" in pack else None
+    else:
+        ids = ids[sel]
+        lr = np.stack([imread_u16(join(scene_dir, f"LR{i}.png")) for i in ids]).astype(np.uint16)
+        hr_map = None
+        sm_path = join(scene_dir, "SM.png")
+        if exists(sm_path):
+            hr_map = (imread_u16(sm_path) > 0).astype(np.float32)
+        hr = None
+        hr_path = join(scene_dir, "HR.png")
+        if exists(hr_path):
+            hr = imread_u16(hr_path).astype(np.uint16)
 
     if create_patches:
         max_x = lr.shape[1] - patch_size

@@ -49,6 +49,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_with_specs(mesh: Mesh, arrays, specs):
+    """device_put each array with its own PartitionSpec."""
+    return tuple(
+        None if x is None else jax.device_put(x, NamedSharding(mesh, spec))
+        for x, spec in zip(arrays, specs)
+    )
+
+
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     """device_put a pytree of host arrays with the batch axis sharded.
 

@@ -71,8 +71,17 @@ def build_train_step(
     shiftnet: ShiftNet,
     config: Dict[str, Any],
     mesh: Optional[Mesh] = None,
+    shard_views: bool = False,
 ):
-    """Returns jitted fn(state, lrs, alphas, hrs, hr_maps) -> (state, metrics)."""
+    """Returns jitted fn(state, lrs, alphas, hrs, hr_maps) -> (state, metrics).
+
+    With a mesh, the batch axis is sharded over 'data'. If the mesh also
+    has a 'view' axis and shard_views=True, the L (view) axis of the LR
+    stack is sharded too — the encoder's folded (B*L) conv batch then
+    spans both mesh axes and the fusion tree's cross-view pairing becomes
+    XLA-inserted collectives over 'view' (SURVEY.md §2: the view axis is
+    the one to shard when L grows).
+    """
     t = config["training"]
     lam = t["lambda"]
     patch = t["patch_size"]
@@ -116,13 +125,14 @@ def build_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
+    view_axis = "view" if (shard_views and "view" in mesh.axis_names) else None
     return jax.jit(
         step,
         donate_argnums=(0,),
         in_shardings=(
             None,  # state: let jit replicate (params/opt replicated)
-            NamedSharding(mesh, P("data", None, None, None)),
-            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data", view_axis, None, None)),
+            NamedSharding(mesh, P("data", view_axis)),
             NamedSharding(mesh, P("data", None, None)),
             NamedSharding(mesh, P("data", None, None)),
         ),

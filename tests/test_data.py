@@ -173,6 +173,32 @@ def test_scene_dataset_indexing(dataset_root):
     assert isinstance(sl, list) and len(sl) == 2
 
 
+def test_packed_cache_roundtrip(dataset_root):
+    """Packed scenes load identically to PNG-decoded ones."""
+    import shutil
+
+    from highresnet_tpu.data.pack import PACK_NAME, pack_scene
+
+    scenes = discover_scenes(f"{dataset_root}/train")
+    scene = scenes[2]
+    before = read_imageset(scene, top_k=None)
+    pack_path = pack_scene(scene)
+    try:
+        after = read_imageset(scene, top_k=None)
+        np.testing.assert_array_equal(before.lr, after.lr)
+        np.testing.assert_array_equal(before.hr, after.hr)
+        np.testing.assert_array_equal(before.hr_map, after.hr_map)
+        np.testing.assert_array_equal(before.clearances, after.clearances)
+        # sampling path works off the pack too
+        rng = np.random.default_rng(0)
+        s = read_imageset(scene, top_k=3, beta=50.0, rng=rng, create_patches=True, patch_size=8)
+        assert s.lr.shape == (3, 8, 8)
+    finally:
+        import os
+
+        os.remove(pack_path)
+
+
 def test_config_load(tmp_path):
     from highresnet_tpu.config import DEFAULT_CONFIG, load_config
 

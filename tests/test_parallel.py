@@ -77,6 +77,57 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(a, b_, atol=2e-5)
 
 
+def test_2d_mesh_view_sharded_step_matches_single_device():
+    """(data=4, view=2) mesh: batch AND view axes sharded; same numerics."""
+    from jax.sharding import PartitionSpec as P
+
+    from highresnet_tpu.models.hrnet import HRNet
+    from highresnet_tpu.models.shiftnet import ShiftNet
+    from highresnet_tpu.parallel.mesh import make_mesh, put_with_specs
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    config = {
+        "network": {
+            "encoder": {"in_channels": 2, "num_layers": 1, "kernel_size": 3, "channel_size": 4},
+            "recursive": {"alpha_residual": True, "in_channels": 4, "kernel_size": 3},
+            "decoder": {
+                "deconv": {"in_channels": 4, "kernel_size": 3, "stride": 3, "out_channels": 4},
+                "final": {"in_channels": 4, "kernel_size": 1, "out_channels": 1},
+            },
+        },
+        "training": {
+            "batch_size": 4, "min_L": 4, "n_views": 4, "crop": 1, "lr": 1e-3,
+            "lambda": 1e-6, "beta": 50.0, "patch_size": 12, "register_size": 24,
+        },
+    }
+    hrnet = HRNet(config=config["network"])
+    shiftnet = ShiftNet()
+    rng = np.random.default_rng(1)
+    b, l, p = 4, 4, 12
+    batch = (
+        rng.random((b, l, p, p)).astype(np.float32),
+        np.ones((b, l), np.float32),
+        rng.random((b, 3 * p, 3 * p)).astype(np.float32),
+        np.ones((b, 3 * p, 3 * p), np.float32),
+    )
+
+    state1 = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(0))
+    step1 = build_train_step(hrnet, shiftnet, config, mesh=None)
+    _, m1 = step1(state1, *batch)
+
+    mesh = make_mesh(shape=(4, 2), axis_names=("data", "view"))
+    state2 = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(0))
+    step2 = build_train_step(hrnet, shiftnet, config, mesh=mesh, shard_views=True)
+    sharded = put_with_specs(
+        mesh, batch,
+        (P("data", "view", None, None), P("data", "view"),
+         P("data", None, None), P("data", None, None)),
+    )
+    _, m2 = step2(state2, *sharded)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
