@@ -97,6 +97,13 @@ def train_and_get_best_model(
     paths = config["paths"]
     seed = t.get("seed", 123)
 
+    if t.get("debug_nans", False):
+        # the reference leaves torch detect_anomaly permanently on
+        # (src/train.py:156); here the NaN tripwire is opt-in
+        from highresnet_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
+
     # --- data ---------------------------------------------------------------
     data_dir = paths["prefix"]
     baseline = None
