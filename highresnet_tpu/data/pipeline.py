@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 
@@ -94,7 +94,6 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Batch]:
         order = self._epoch_order()
         n = len(order)
-        ends = range(self.batch_size, n + 1, self.batch_size) if self.drop_last else None
         starts = list(range(0, n, self.batch_size))
         if self.drop_last:
             starts = [s for s in starts if s + self.batch_size <= n]

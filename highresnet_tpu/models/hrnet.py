@@ -25,7 +25,7 @@ config (verified by tests/test_models.py).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

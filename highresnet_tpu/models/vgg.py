@@ -16,7 +16,7 @@ relative comparisons, and exactly reproducible from the seed).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -87,7 +87,6 @@ def preprocess(img: jax.Array) -> jax.Array:
 def _torch_state_to_params(state: dict) -> dict:
     """Map a torchvision vgg19 ``features`` state dict to flax params."""
     convs = {}
-    conv_ids = [k.split(".")[-2] if k.startswith("features") else k.split(".")[0] for k in state]
     # Accept both 'features.0.weight' and '0.weight' key styles.
     items: Dict[int, Dict[str, np.ndarray]] = {}
     for k, v in state.items():

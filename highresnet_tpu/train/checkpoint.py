@@ -15,7 +15,6 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from highresnet_tpu.train.state import TrainState
@@ -30,12 +29,16 @@ class CheckpointManager:
     # -- full resumable state ------------------------------------------------
 
     def save_state(self, state: TrainState, host_state: Dict[str, Any]) -> None:
-        """Save device train state + host-side scalars (epoch, scheduler...)."""
+        """Save device train state + host-side scalars (epoch, scheduler...).
+
+        Asynchronous: the write overlaps the next epoch; we only block if a
+        previous save is still in flight.
+        """
+        self._ckptr.wait_until_finished()
         path = os.path.join(self.run_dir, "state")
         self._ckptr.save(path, jax.device_get(state), force=True)
         with open(os.path.join(self.run_dir, "host_state.json"), "w") as f:
             json.dump(host_state, f)
-        self._ckptr.wait_until_finished()
 
     def restore_state(self, template: TrainState) -> Tuple[Optional[TrainState], Dict[str, Any]]:
         path = os.path.join(self.run_dir, "state")
@@ -52,11 +55,15 @@ class CheckpointManager:
     # -- best weights for inference ------------------------------------------
 
     def save_best(self, params: Dict[str, Any], batch_stats: Dict[str, Any], score: float) -> None:
+        self._ckptr.wait_until_finished()
         path = os.path.join(self.run_dir, "best")
         payload = {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
         self._ckptr.save(path, payload, force=True)
         with open(os.path.join(self.run_dir, "best_score.json"), "w") as f:
             json.dump({"score": float(score)}, f)
+
+    def wait(self) -> None:
+        """Block until in-flight async saves are durable (end of training)."""
         self._ckptr.wait_until_finished()
 
     def load_best(self, template: Dict[str, Any]) -> Dict[str, Any]:

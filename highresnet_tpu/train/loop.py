@@ -214,10 +214,13 @@ def train_and_get_best_model(
         new_lr = scheduler.step(val_score)
         state = state.with_learning_rate(new_lr)
 
-        ckpt.save_state(
-            state,
-            {"epoch": epoch, "best_score": best_score, "scheduler": scheduler.state_dict()},
-        )
+        # full resumable state every `checkpoint_every` epochs (async save)
+        every = max(1, t.get("checkpoint_every", 1) or 1)
+        if epoch % every == 0 or epoch == num_epochs:
+            ckpt.save_state(
+                state,
+                {"epoch": epoch, "best_score": best_score, "scheduler": scheduler.state_dict()},
+            )
 
         if writer is not None:
             writer.add_scalar("train/loss", train_loss, epoch)
@@ -234,6 +237,7 @@ def train_and_get_best_model(
 
     if writer is not None:
         writer.close()
+    ckpt.wait()
     return {
         "params": best["params"],
         "batch_stats": best["batch_stats"],
