@@ -129,6 +129,8 @@ def main():
     details["configs"].append(bench_config(batch=4, views=32, size=128))
     # bfloat16 variant of the headline
     details["configs"].append(bench_config(batch=8, views=16, size=128, dtype=jnp.bfloat16))
+    # single-scene latency (reference: < 0.2 s/scene for 32 views @128, V100)
+    details["configs"].append(bench_config(batch=1, views=32, size=128))
     # full training step (reference: 400 epochs < 9 h on V100)
     details["configs"].append(bench_train_step())
 

@@ -58,7 +58,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "compute_dtype": "float32",  # or "bfloat16"
         "data_parallel": True,
         "eval_batch_size": 1,
-        "checkpoint_every": 0,  # extra periodic checkpointing (0 = best-only)
+        # full-resumable-state save period in epochs; 1 = every epoch,
+        # 0 = best-weights only during the run + one final state save
+        "checkpoint_every": 1,
     },
 }
 

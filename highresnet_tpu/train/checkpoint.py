@@ -6,6 +6,13 @@ state — params, BN stats, optimizer state, step, RNG key, epoch, scheduler
 state, best score — is checkpointed, so a preempted run restarts exactly
 where it left off. Best-weights-only snapshots are also written for
 inference (`best/`), matching the reference's HRNet.pth/ShiftNet.pth role.
+
+Crash safety: full-state saves are asynchronous and ALTERNATE between two
+slots (state_0 / state_1); `latest.json` (slot pointer + host-side scalars)
+is only written after a slot's async save has committed, so at any instant
+there is one complete, pointed-to checkpoint on disk — a crash mid-save
+costs at most one save interval, never resumability. `save_best` stays
+synchronous: external readers load `best/` immediately after training.
 """
 
 from __future__ import annotations
@@ -25,50 +32,71 @@ class CheckpointManager:
         self.run_dir = os.path.abspath(run_dir)
         os.makedirs(self.run_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending: Optional[Tuple[str, Dict[str, Any]]] = None  # (slot, host_state)
+        self._last_slot = self._read_latest().get("slot", "state_1")
 
     # -- full resumable state ------------------------------------------------
 
-    def save_state(self, state: TrainState, host_state: Dict[str, Any]) -> None:
-        """Save device train state + host-side scalars (epoch, scheduler...).
+    def _latest_path(self) -> str:
+        return os.path.join(self.run_dir, "latest.json")
 
-        Asynchronous: the write overlaps the next epoch; we only block if a
-        previous save is still in flight.
-        """
+    def _read_latest(self) -> Dict[str, Any]:
+        try:
+            with open(self._latest_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _flush_pending(self) -> None:
+        """Point latest.json at the slot whose async save just committed."""
+        if self._pending is None:
+            return
+        slot, host_state = self._pending
+        with open(self._latest_path(), "w") as f:
+            json.dump({"slot": slot, **host_state}, f)
+        self._last_slot = slot
+        self._pending = None
+
+    def save_state(self, state: TrainState, host_state: Dict[str, Any]) -> None:
+        """Async full-state save into the slot NOT pointed to by latest.json."""
         self._ckptr.wait_until_finished()
-        path = os.path.join(self.run_dir, "state")
-        self._ckptr.save(path, jax.device_get(state), force=True)
-        with open(os.path.join(self.run_dir, "host_state.json"), "w") as f:
-            json.dump(host_state, f)
+        self._flush_pending()
+        slot = "state_0" if self._last_slot != "state_0" else "state_1"
+        self._ckptr.save(os.path.join(self.run_dir, slot), jax.device_get(state), force=True)
+        self._pending = (slot, host_state)
 
     def restore_state(self, template: TrainState) -> Tuple[Optional[TrainState], Dict[str, Any]]:
-        path = os.path.join(self.run_dir, "state")
+        latest = self._read_latest()
+        slot = latest.get("slot")
+        if not slot:
+            return None, {}
+        path = os.path.join(self.run_dir, slot)
         if not os.path.isdir(path):
             return None, {}
         state = self._ckptr.restore(path, jax.device_get(template))
-        host_path = os.path.join(self.run_dir, "host_state.json")
-        host_state = {}
-        if os.path.isfile(host_path):
-            with open(host_path) as f:
-                host_state = json.load(f)
+        host_state = {k: v for k, v in latest.items() if k != "slot"}
         return state, host_state
 
     # -- best weights for inference ------------------------------------------
 
     def save_best(self, params: Dict[str, Any], batch_stats: Dict[str, Any], score: float) -> None:
+        """Synchronous: `best/` is complete on return (inference may read it)."""
         self._ckptr.wait_until_finished()
         path = os.path.join(self.run_dir, "best")
         payload = {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
         self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
         with open(os.path.join(self.run_dir, "best_score.json"), "w") as f:
             json.dump({"score": float(score)}, f)
-
-    def wait(self) -> None:
-        """Block until in-flight async saves are durable (end of training)."""
-        self._ckptr.wait_until_finished()
 
     def load_best(self, template: Dict[str, Any]) -> Dict[str, Any]:
         path = os.path.join(self.run_dir, "best")
         return self._ckptr.restore(path, jax.device_get(template))
+
+    def wait(self) -> None:
+        """Block until in-flight async saves are durable and pointed to."""
+        self._ckptr.wait_until_finished()
+        self._flush_pending()
 
 
 def load_params(checkpoint_dir: str, template: Dict[str, Any]) -> Dict[str, Any]:

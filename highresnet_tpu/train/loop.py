@@ -214,9 +214,11 @@ def train_and_get_best_model(
         new_lr = scheduler.step(val_score)
         state = state.with_learning_rate(new_lr)
 
-        # full resumable state every `checkpoint_every` epochs (async save)
-        every = max(1, t.get("checkpoint_every", 1) or 1)
-        if epoch % every == 0 or epoch == num_epochs:
+        # full resumable state every `checkpoint_every` epochs (async save);
+        # 0 = best-weights-only during the run, one final state save at exit
+        every = t.get("checkpoint_every", 1)
+        stopping = (epoch == num_epochs) or (max_steps is not None and steps_done >= max_steps)
+        if (every > 0 and epoch % every == 0) or stopping:
             ckpt.save_state(
                 state,
                 {"epoch": epoch, "best_score": best_score, "scheduler": scheduler.state_dict()},

@@ -128,7 +128,13 @@ def test_train_e2e_and_resume(train_root, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(run_dir, "best"))
-    assert os.path.isfile(os.path.join(run_dir, "host_state.json"))
+    # alternating-slot pointer exists and names a committed slot
+    import json
+
+    with open(os.path.join(run_dir, "latest.json")) as f:
+        latest = json.load(f)
+    assert latest["epoch"] == 2
+    assert os.path.isdir(os.path.join(run_dir, latest["slot"]))
 
 
 def test_eval_step_scores(train_root, tmp_path):
