@@ -66,8 +66,16 @@ def get_sr_and_score(
     imset: ImageSet | Batch,
     forward,
     min_l: int = 16,
+    registration=None,
+    register_size: int = 128,
 ) -> Tuple[np.ndarray, Optional[float]]:
-    """Super-resolve one scene and (if HR exists) its shift_cPSNR."""
+    """Super-resolve one scene and (if HR exists) its shift_cPSNR.
+
+    With ``registration=(shiftnet, variables)``, the SR frame is first
+    registered against HR by ShiftNet and Lanczos-warped before scoring —
+    the registered-eval protocol (BASELINE.json config #2; the integer
+    shift_cpsnr search still runs on top, as in training-time validation).
+    """
     if isinstance(imset, ImageSet):
         batch = collate([imset], min_l)
     else:
@@ -75,9 +83,28 @@ def get_sr_and_score(
     sr = forward(batch.lrs, batch.alphas)[0]
     score = None
     if batch.hrs is not None:
+        sr_scored = jnp.asarray(sr)
+        if registration is not None:
+            from highresnet_tpu.models.shiftnet import apply_shifts, register_views
+
+            shiftnet, variables = registration
+            hr = jnp.asarray(batch.hrs[0])
+            size = register_size  # must match ShiftNet's trained fc geometry
+            assert sr_scored.shape[-1] >= size, (
+                f"registered eval needs SR >= {size}px (got {sr_scored.shape[-1]})"
+            )
+            off = (sr_scored.shape[-1] - size) // 2
+            thetas, _ = register_views(
+                shiftnet,
+                variables,
+                sr_scored[None, None, off : off + size, off : off + size],
+                hr[None, off : off + size, off : off + size],
+                train=False,
+            )
+            sr_scored = apply_shifts(sr_scored[None, None], thetas)[0, 0]
         score = float(
             shift_cpsnr(
-                jnp.clip(jnp.asarray(sr), 0.0, 1.0),
+                jnp.clip(sr_scored, 0.0, 1.0),
                 jnp.asarray(batch.hrs[0]),
                 jnp.asarray(batch.hr_maps[0]),
             )
@@ -163,18 +190,49 @@ class Model:
         self.config = config
         self.hrnet: Optional[HRNet] = None
         self.forward = None
+        self.registration = None  # (shiftnet, variables) when available
 
     def load_checkpoint(self, checkpoint_dir: str):
         self.hrnet, params = load_model(self.config, checkpoint_dir)
         self.forward = _JittedForward(self.hrnet, params)
+
+    def load_checkpoint_with_shiftnet(self, checkpoint_dir: str):
+        """Also load ShiftNet for registered scoring (config #2 protocol)."""
+        from highresnet_tpu.models.shiftnet import ShiftNet
+        from highresnet_tpu.train.checkpoint import load_params
+
+        self.hrnet = HRNet(config=self.config["network"])
+        shiftnet = ShiftNet()
+        t = self.config["training"]
+        rs = t.get("register_size", 128)
+        hr_dummy = self.hrnet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 16, 16)), jnp.ones((1, 2))
+        )
+        sn_dummy = shiftnet.init(jax.random.PRNGKey(0), jnp.zeros((1, rs, rs, 2)), train=False)
+        template = {
+            "params": {"hrnet": hr_dummy["params"], "shiftnet": sn_dummy["params"]},
+            "batch_stats": sn_dummy.get("batch_stats", {}),
+        }
+        restored = load_params(checkpoint_dir, template)
+        self.forward = _JittedForward(self.hrnet, restored["params"]["hrnet"])
+        self.registration = (
+            shiftnet,
+            {"params": restored["params"]["shiftnet"], "batch_stats": restored["batch_stats"]},
+        )
 
     def set_params(self, params):
         """Use in-memory weights (e.g. straight out of training)."""
         self.hrnet = HRNet(config=self.config["network"])
         self.forward = _JittedForward(self.hrnet, params)
 
-    def __call__(self, imset):
-        return get_sr_and_score(imset, self.forward, min_l=self.config["training"]["min_L"])
+    def __call__(self, imset, registered: bool = False):
+        return get_sr_and_score(
+            imset,
+            self.forward,
+            min_l=self.config["training"]["min_L"],
+            registration=self.registration if registered else None,
+            register_size=self.config["training"].get("register_size", 128),
+        )
 
     def evaluate(self, train_dataset, val_dataset, test_dataset, baseline_cpsnrs):
         scores, clearances, part = evaluate(

@@ -91,6 +91,40 @@ def test_submission_zip(eval_env, tmp_path):
     assert img.dtype == np.uint16 and img.shape == (48, 48)
 
 
+def test_registered_eval(eval_env, tmp_path):
+    """ShiftNet-registered scoring (config #2): loads joint checkpoint,
+    warps SR by the predicted shift before the cPSNR shift search."""
+    import jax.numpy as jnp
+
+    from highresnet_tpu.models import ShiftNet
+    from highresnet_tpu.train.checkpoint import CheckpointManager
+
+    root, config, model = eval_env
+    cfg = dict(config)
+    cfg["training"] = dict(config["training"], register_size=32)
+
+    shiftnet = ShiftNet()
+    sn_vars = shiftnet.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 2)), train=False)
+
+    run_dir = str(tmp_path / "joint_run")
+    ck = CheckpointManager(run_dir)
+    ck.save_best(
+        {"hrnet": model.forward.params, "shiftnet": sn_vars["params"]},
+        sn_vars.get("batch_stats", {}),
+        score=1.0,
+    )
+
+    m = Model(cfg)
+    m.load_checkpoint_with_shiftnet(run_dir)
+    ds = SceneDataset(discover_scenes(f"{root}/train"), top_k=-1)
+    sr_plain, score_plain = m(ds[0])
+    sr_reg, score_reg = m(ds[0], registered=True)
+    np.testing.assert_array_equal(sr_plain, sr_reg)  # SR image unchanged
+    assert score_reg is not None and np.isfinite(score_reg)
+    # zero-init fc2 -> identity registration -> identical score
+    assert score_reg == pytest.approx(score_plain, abs=1e-3)
+
+
 def test_checkpoint_roundtrip_via_model(eval_env, tmp_path):
     """save_best -> Model.load_checkpoint restores identical outputs."""
     root, config, model = eval_env
