@@ -116,6 +116,13 @@ def train_and_get_best_model(
         raise FileNotFoundError(f"no scenes under {data_dir}/train/(RED|NIR)")
     train_list, val_list = train_val_split(scene_dirs, t["val_proportion"], seed=1)
 
+    # multi-host: each host reads its own shard of the training scenes
+    # (per-host input sharding; no-op for a single process)
+    if jax.process_count() > 1:
+        from highresnet_tpu.data.pipeline import shard_for_hosts
+
+        train_list = shard_for_hosts(train_list, jax.process_index(), jax.process_count())
+
     mesh = None
     if t.get("data_parallel", True) and jax.device_count() > 1:
         n = jax.device_count()

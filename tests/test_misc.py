@@ -1,0 +1,81 @@
+"""Coverage for auxiliary paths: integer resampler, profiling helpers,
+pack CLI, loader error propagation, clearance CLI."""
+
+import numpy as np
+import pytest
+
+
+def test_lanczos_resample_2d_properties():
+    import jax.numpy as jnp
+
+    from highresnet_tpu.ops.lanczos import lanczos_resample_2d
+
+    const = jnp.full((24, 24), 0.7)
+    out = np.asarray(lanczos_resample_2d(const, 3))
+    assert out.shape == (8, 8)
+    np.testing.assert_allclose(out, 0.7, atol=1e-5)
+
+    # a linear ramp stays (approximately) a linear ramp under downscale
+    ramp = jnp.broadcast_to(jnp.linspace(0, 1, 24), (24, 24))
+    out = np.asarray(lanczos_resample_2d(ramp, 3))
+    interior = out[2:-2, 2:-2]
+    diffs = np.diff(interior, axis=1)
+    np.testing.assert_allclose(diffs, diffs.mean(), atol=1e-3)
+
+
+def test_profiling_timed_and_sync():
+    import jax.numpy as jnp
+
+    from highresnet_tpu.utils.profiling import sync, timed
+
+    def f(x):
+        return x * 2.0
+
+    dt, result = timed(f, jnp.ones((8, 8)), iters=3, warmup=1)
+    assert dt >= 0
+    np.testing.assert_allclose(np.asarray(result), 2.0)
+    sync(None)  # no-op on empty trees
+    sync({"a": jnp.ones(3)})
+
+
+def test_pack_cli(tmp_path):
+    from highresnet_tpu.cli.pack_dataset import main as pack_main
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+    import os
+
+    make_synthetic_dataset(str(tmp_path), n_scenes_per_channel=1, n_views=3,
+                           lr_size=16, seed=0, splits=("train",))
+    pack_main(["--prefix", str(tmp_path)])
+    from highresnet_tpu.data import discover_scenes
+
+    for d in discover_scenes(f"{tmp_path}/train"):
+        assert os.path.isfile(os.path.join(d, "packed.npz"))
+
+
+def test_save_clearance_cli(tmp_path):
+    from highresnet_tpu.cli.save_clearance import main as sc_main
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+    import os
+
+    make_synthetic_dataset(str(tmp_path), n_scenes_per_channel=1, n_views=3,
+                           lr_size=16, seed=1, splits=("train",))
+    sc_main(["--prefix", str(tmp_path)])
+    from highresnet_tpu.data import discover_scenes
+
+    for d in discover_scenes(f"{tmp_path}/train"):
+        assert os.path.isfile(os.path.join(d, "clearance.npy"))
+
+
+def test_batch_loader_propagates_errors(tmp_path):
+    from highresnet_tpu.data.pipeline import BatchLoader
+
+    loader = BatchLoader([str(tmp_path / "nonexistent_scene")], batch_size=1, min_l=2)
+    with pytest.raises(Exception):
+        list(loader)
+
+
+def test_crop_mask_zero_crop():
+    from highresnet_tpu.ops.losses import crop_mask
+
+    m = crop_mask(patch_size=4, crop=0)
+    assert m.min() == 1.0  # no border zeroed
