@@ -24,8 +24,15 @@ from highresnet_tpu.data.probav import read_imageset
 
 
 def shard_for_hosts(scene_dirs: Sequence[str], host_id: int, n_hosts: int) -> List[str]:
-    """Deterministic per-host shard of the scene list (round-robin)."""
-    return [d for i, d in enumerate(scene_dirs) if i % n_hosts == host_id]
+    """Deterministic per-host shard of the scene list, EQUAL length per host.
+
+    The list is truncated to a multiple of n_hosts before round-robin
+    assignment so every host sees the same number of scenes — a
+    requirement for collective-running train steps (unequal shards would
+    desynchronize per-host step counts and deadlock the collectives).
+    """
+    n = (len(scene_dirs) // n_hosts) * n_hosts
+    return [d for i, d in enumerate(scene_dirs[:n]) if i % n_hosts == host_id]
 
 
 class BatchLoader:
@@ -101,6 +108,18 @@ class BatchLoader:
         out_q: "queue.Queue[tuple[int, Batch | Exception]]" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that wakes up if the consumer abandons the
+            iterator (otherwise the producer thread would block forever
+            on the full queue and leak itself + its batches)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             import concurrent.futures as cf
 
@@ -115,11 +134,12 @@ class BatchLoader:
                     ]
                     try:
                         sets = list(pool.map(self._load_scene, idxs, rngs))
-                        out_q.put((bi, collate(sets, self.min_l)))
+                        if not put_or_stop((bi, collate(sets, self.min_l))):
+                            return
                     except Exception as e:  # surface in consumer
-                        out_q.put((bi, e))
+                        put_or_stop((bi, e))
                         return
-            out_q.put((-1, None))
+            put_or_stop((-1, None))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

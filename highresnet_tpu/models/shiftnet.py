@@ -26,8 +26,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from highresnet_tpu.ops.lanczos import lanczos_shift
-
 
 class ShiftNet(nn.Module):
     in_channels: int = 1
@@ -111,7 +109,6 @@ def apply_shifts(images: jax.Array, thetas: jax.Array, a: int = 3, n: int = 7) -
     last axis is flipped (reference: ShiftNet.transform flips theta,
     src/DeepNetworks/ShiftNet.py:88).
     """
-    b, l, h, w = images.shape
-    shifts = jnp.flip(thetas.reshape(b * l, 2), axis=-1)
-    out = lanczos_shift(images.reshape(b * l, h, w), shifts, a=a, n=n)
-    return out.reshape(b, l, h, w)
+    from highresnet_tpu.ops.lanczos import lanczos_shift_views
+
+    return lanczos_shift_views(images, jnp.flip(thetas, axis=-1), a=a, n=n)

@@ -115,13 +115,10 @@ def train_and_get_best_model(
     if not scene_dirs:
         raise FileNotFoundError(f"no scenes under {data_dir}/train/(RED|NIR)")
     train_list, val_list = train_val_split(scene_dirs, t["val_proportion"], seed=1)
-
-    # multi-host: each host reads its own shard of the training scenes
-    # (per-host input sharding; no-op for a single process)
-    if jax.process_count() > 1:
-        from highresnet_tpu.data.pipeline import shard_for_hosts
-
-        train_list = shard_for_hosts(train_list, jax.process_index(), jax.process_count())
+    # NOTE multi-host: this loop is single-controller. True multi-process
+    # training additionally needs jax.make_array_from_process_local_data
+    # over equal-length per-host shards (data.pipeline.shard_for_hosts) and
+    # host-synchronized step counts; wiring that is out of scope here.
 
     mesh = None
     if t.get("data_parallel", True) and jax.device_count() > 1:
@@ -182,7 +179,7 @@ def train_and_get_best_model(
             scheduler.load_state_dict(host_state["scheduler"])
         state = state.with_learning_rate(scheduler.lr)
 
-    best = {"params": state.params, "batch_stats": state.batch_stats}
+    best = jax.device_get({"params": state.params, "batch_stats": state.batch_stats})
     steps_done = 0
     num_epochs = t["num_epochs"]
 
@@ -215,8 +212,13 @@ def train_and_get_best_model(
 
         if val_score < best_score:
             best_score = val_score
-            best = {"params": state.params, "batch_stats": state.batch_stats}
-            ckpt.save_best(state.params, state.batch_stats, best_score)
+            # snapshot to host: the next train_step DONATES state buffers
+            # (donate_argnums), so keeping device references would return
+            # deleted arrays whenever the best epoch isn't the last one
+            best = jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            )
+            ckpt.save_best(best["params"], best["batch_stats"], best_score)
 
         new_lr = scheduler.step(val_score)
         state = state.with_learning_rate(new_lr)

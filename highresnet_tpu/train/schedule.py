@@ -34,9 +34,11 @@ class ReduceLROnPlateau:
         self.num_bad_epochs = 0
 
     def _is_better(self, value: float) -> bool:
+        # exact torch 'rel' threshold semantics (no sign special-casing;
+        # torch uses best*(1 -/+ threshold) regardless of best's sign)
         if self.mode == "min":
-            return value < self.best * (1 - self.threshold) if self.best >= 0 else value < self.best * (1 + self.threshold)
-        return value > self.best * (1 + self.threshold) if self.best >= 0 else value > self.best * (1 - self.threshold)
+            return value < self.best * (1 - self.threshold)
+        return value > self.best * (1 + self.threshold)
 
     def step(self, value: float) -> float:
         """Record this epoch's monitored value; return the (possibly new) LR."""

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from highresnet_tpu.models.hrnet import HRNet
 from highresnet_tpu.models.shiftnet import ShiftNet
-from highresnet_tpu.ops.losses import cpsnr_loss, crop_mask
+from highresnet_tpu.ops.losses import crop_mask, registered_loss
 from highresnet_tpu.ops.lanczos import lanczos_shift
 from highresnet_tpu.ops.metrics import shift_cpsnr_batch
 from highresnet_tpu.train.state import TrainState, make_optimizer
@@ -98,7 +98,7 @@ def build_train_step(
             train=True, register_size=register_size,
         )
         mask = border_mask[None] * hr_maps
-        loss = jnp.mean(-cpsnr_loss(warped, hrs, mask)) + lam * jnp.square(jnp.mean(thetas))
+        loss = registered_loss(warped, hrs, mask, thetas, lam)
         return loss, (new_stats, thetas)
 
     def step(state: TrainState, lrs, alphas, hrs, hr_maps):

@@ -145,9 +145,14 @@ def test_batch_loader_epoch(dataset_root):
 def test_shard_for_hosts():
     dirs = [f"s{i}" for i in range(10)]
     shards = [shard_for_hosts(dirs, h, 4) for h in range(4)]
+    # equal length per host (collective step counts must match)...
+    assert len({len(s) for s in shards}) == 1
+    # ...so the list is truncated to a multiple of n_hosts, no overlaps
     flat = sorted(d for s in shards for d in s)
-    assert flat == sorted(dirs)
-    assert abs(len(shards[0]) - len(shards[3])) <= 1
+    assert flat == sorted(dirs[:8])
+    # evenly divisible case covers everything
+    shards12 = [shard_for_hosts([f"s{i}" for i in range(12)], h, 4) for h in range(4)]
+    assert sorted(d for s in shards12 for d in s) == [f"s{i}" for i in range(12)]
 
 
 def test_norm_csv_and_split(dataset_root):

@@ -74,6 +74,30 @@ def test_batch_loader_propagates_errors(tmp_path):
         list(loader)
 
 
+def test_batch_loader_abandoned_iterator_stops_producer(tmp_path):
+    """Breaking out of the loader must not leave the producer thread
+    blocked on the bounded queue."""
+    import threading
+    import time
+
+    from highresnet_tpu.data.pipeline import BatchLoader
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+    from highresnet_tpu.data import discover_scenes
+
+    make_synthetic_dataset(str(tmp_path), n_scenes_per_channel=3, n_views=3,
+                           lr_size=16, seed=2, splits=("train",))
+    scenes = discover_scenes(f"{tmp_path}/train") * 4  # 24 scenes
+    loader = BatchLoader(scenes, batch_size=2, min_l=3, prefetch=1, num_workers=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch (generator finally -> stop event)
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_crop_mask_zero_crop():
     from highresnet_tpu.ops.losses import crop_mask
 

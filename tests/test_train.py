@@ -58,6 +58,26 @@ def test_plateau_matches_torch():
     np.testing.assert_allclose(mine_lrs, torch_lrs)
 
 
+def test_plateau_matches_torch_negative_values():
+    """The no-norm.csv case monitors val = -shift_cPSNR (negative dB)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    values = (-40 + rng.normal(scale=0.5, size=24)).tolist()
+
+    mine = ReduceLROnPlateau(0.1, factor=0.5, patience=2)
+    mine_lrs = [mine.step(v) for v in values]
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, mode="min", factor=0.5, patience=2)
+    torch_lrs = []
+    for v in values:
+        sched.step(v)
+        torch_lrs.append(opt.param_groups[0]["lr"])
+
+    np.testing.assert_allclose(mine_lrs, torch_lrs)
+
+
 @pytest.fixture(scope="module")
 def train_root(tmp_path_factory):
     from highresnet_tpu.data.synth import make_synthetic_dataset
@@ -124,6 +144,19 @@ def test_train_e2e_and_resume(train_root, tmp_path):
     cfg["training"]["num_epochs"] = 2
     out2 = train_and_get_best_model(cfg, run_dir=run_dir)
     assert out2["best_score"] <= first_best + 1e-9
+
+    # the returned best weights must be USABLE host copies — train_step
+    # donates state buffers, so un-snapshotted references would be deleted
+    import jax
+    import jax.numpy as jnp
+
+    from highresnet_tpu.models import HRNet
+
+    hrnet = HRNet(config=cfg["network"])
+    sr = hrnet.apply(
+        {"params": out2["params"]["hrnet"]}, jnp.zeros((1, 4, 16, 16)), jnp.ones((1, 4))
+    )
+    assert np.isfinite(np.asarray(sr)).all()
 
     import os
 
