@@ -152,7 +152,7 @@ def test_shard_for_hosts():
     assert flat == sorted(dirs[:8])
     # evenly divisible case covers everything
     shards12 = [shard_for_hosts([f"s{i}" for i in range(12)], h, 4) for h in range(4)]
-    assert sorted(d for s in shards12 for d in s) == [f"s{i}" for i in range(12)]
+    assert sorted(d for s in shards12 for d in s) == sorted(f"s{i}" for i in range(12))
 
 
 def test_norm_csv_and_split(dataset_root):
