@@ -62,6 +62,24 @@ class _JittedForward:
         return np.asarray(self._fn(self.params, jnp.asarray(lrs), jnp.asarray(alphas)))
 
 
+class _EnsembleForward:
+    """Average the SR outputs of several weight sets (HighRes-net+ protocol:
+    the paper's best entry ensembles two models; paper Table 1)."""
+
+    def __init__(self, hrnet: HRNet, params_list):
+        self.hrnet = hrnet
+        self.params_list = list(params_list)
+        self._fn = jax.jit(
+            lambda ps, lrs, alphas: jnp.mean(
+                jnp.stack([self.hrnet.apply({"params": p}, lrs, alphas) for p in ps]),
+                axis=0,
+            )
+        )
+
+    def __call__(self, lrs: np.ndarray, alphas: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fn(self.params_list, jnp.asarray(lrs), jnp.asarray(alphas)))
+
+
 def get_sr_and_score(
     imset: ImageSet | Batch,
     forward,
@@ -224,6 +242,15 @@ class Model:
         """Use in-memory weights (e.g. straight out of training)."""
         self.hrnet = HRNet(config=self.config["network"])
         self.forward = _JittedForward(self.hrnet, params)
+
+    def load_ensemble(self, checkpoint_dirs):
+        """HighRes-net+ style inference: average SR over several trained
+        models (the paper's leaderboard-best used a 2-model ensemble)."""
+        params_list = []
+        for d in checkpoint_dirs:
+            self.hrnet, params = load_model(self.config, d)
+            params_list.append(params)
+        self.forward = _EnsembleForward(self.hrnet, params_list)
 
     def __call__(self, imset, registered: bool = False):
         return get_sr_and_score(

@@ -91,6 +91,30 @@ def test_submission_zip(eval_env, tmp_path):
     assert img.dtype == np.uint16 and img.shape == (48, 48)
 
 
+def test_ensemble_forward(eval_env, tmp_path):
+    """HighRes-net+ protocol: ensemble SR == mean of member SRs."""
+    import jax
+    import jax.numpy as jnp
+
+    from highresnet_tpu.eval.evaluator import _EnsembleForward
+    from highresnet_tpu.models import HRNet
+
+    root, config, model = eval_env
+    hrnet = HRNet(config=TINY_NET)
+    v1 = hrnet.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 16, 16)), jnp.ones((1, 4)))
+    v2 = hrnet.init(jax.random.PRNGKey(2), jnp.zeros((1, 4, 16, 16)), jnp.ones((1, 4)))
+
+    rng = np.random.default_rng(0)
+    lrs = rng.random((2, 4, 16, 16)).astype(np.float32)
+    alphas = np.ones((2, 4), np.float32)
+
+    ens = _EnsembleForward(hrnet, [v1["params"], v2["params"]])
+    got = ens(lrs, alphas)
+    a = hrnet.apply(v1, jnp.asarray(lrs), jnp.asarray(alphas))
+    b = hrnet.apply(v2, jnp.asarray(lrs), jnp.asarray(alphas))
+    np.testing.assert_allclose(got, np.asarray((a + b) / 2), atol=1e-6)
+
+
 def test_registered_eval(eval_env, tmp_path):
     """ShiftNet-registered scoring (config #2): loads joint checkpoint,
     warps SR by the predicted shift before the cPSNR shift search."""
