@@ -63,8 +63,10 @@ def evaluate_model(
     With norm.csv: mean of ESA/model cPSNR ratios (lower is better, <1
     beats the ESA baseline). Without: mean of -shift_cPSNR.
     """
-    total = 0.0
-    n = 0
+    # dispatch all eval batches first, read scores back once at the end
+    # (device transports with high readback latency would otherwise sync
+    # once per batch)
+    pending = []  # (names, device scores)
     for start in range(0, len(val_scenes), batch_size):
         dirs = val_scenes[start : start + batch_size]
         sets = [read_imageset(d, top_k=top_k, beta=beta) for d in dirs]
@@ -73,8 +75,13 @@ def evaluate_model(
         if mesh is not None and len(dirs) == batch_size:
             args = shard_batch(mesh, args)
         _, scores = eval_step(params_hrnet, *args)
+        pending.append((batch.names, scores))
+
+    total = 0.0
+    n = 0
+    for names, scores in pending:
         scores = np.asarray(scores)
-        for name, s in zip(batch.names, scores):
+        for name, s in zip(names, scores):
             if baseline_cpsnrs is not None:
                 total += baseline_cpsnrs[name] / float(s)
             else:
@@ -184,7 +191,10 @@ def train_and_get_best_model(
     num_epochs = t["num_epochs"]
 
     for epoch in range(start_epoch, num_epochs + 1):
-        epoch_loss = 0.0
+        # accumulate the loss ON DEVICE: reading a scalar back per step
+        # would force a host sync every step (very expensive on remote
+        # device transports); one readback per epoch instead
+        epoch_loss_dev = None
         n_seen = 0
         t0 = time.time()
         for batch in loader:
@@ -192,12 +202,13 @@ def train_and_get_best_model(
             if mesh is not None:
                 args = shard_batch(mesh, args)
             state, metrics = train_step(state, *args)
-            epoch_loss += float(metrics["loss"]) * len(batch.names)
+            contrib = metrics["loss"] * len(batch.names)
+            epoch_loss_dev = contrib if epoch_loss_dev is None else epoch_loss_dev + contrib
             n_seen += len(batch.names)
             steps_done += 1
             if max_steps is not None and steps_done >= max_steps:
                 break
-        train_loss = epoch_loss / max(n_seen, 1)
+        train_loss = float(epoch_loss_dev) / max(n_seen, 1) if n_seen else 0.0
 
         val_score = evaluate_model(
             state.params["hrnet"],
