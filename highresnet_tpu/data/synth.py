@@ -45,10 +45,17 @@ def make_scene(
     lr_size: int = 32,
     with_hr: bool = True,
     noise: float = 0.01,
+    detail: float = 0.0,
 ) -> None:
+    """detail > 0 mixes in pixel-scale structure (speckle) that 3x
+    decimation aliases away — recoverable from multiple shifted views but
+    not from any single one (makes MFSR-vs-interpolation gaps visible)."""
     os.makedirs(scene_dir, exist_ok=True)
     hr_size = 3 * lr_size
     hr = _smooth_field(rng, hr_size)
+    if detail > 0:
+        speckle = (rng.random((hr_size, hr_size)) > 0.9).astype(np.float64)
+        hr = np.clip((1 - detail) * hr + detail * speckle, 0, 1)
 
     for v in range(n_views):
         dy, dx = rng.integers(-2, 3, size=2)
@@ -73,6 +80,7 @@ def make_synthetic_dataset(
     seed: int = 0,
     splits=("train", "test"),
     write_norm_csv: bool = True,
+    detail: float = 0.0,
 ) -> str:
     """Create <root>/{train,test}/{RED,NIR}/imgset####/ with PNG assets."""
     rng = np.random.default_rng(seed)
@@ -89,6 +97,7 @@ def make_synthetic_dataset(
                     n_views=n_views,
                     lr_size=lr_size,
                     with_hr=with_hr,
+                    detail=detail,
                 )
                 if with_hr:
                     names.append(name)

@@ -178,6 +178,21 @@ def test_scene_dataset_indexing(dataset_root):
     assert isinstance(sl, list) and len(sl) == 2
 
 
+def test_synth_detail_adds_high_frequency(tmp_path):
+    """detail>0 injects pixel-scale structure that decimation destroys."""
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+
+    make_synthetic_dataset(str(tmp_path / "a"), n_scenes_per_channel=1, n_views=2,
+                           lr_size=16, seed=0, splits=("train",), detail=0.0)
+    make_synthetic_dataset(str(tmp_path / "b"), n_scenes_per_channel=1, n_views=2,
+                           lr_size=16, seed=0, splits=("train",), detail=0.5)
+    a = read_imageset(discover_scenes(f"{tmp_path}/a/train")[0]).hr
+    b = read_imageset(discover_scenes(f"{tmp_path}/b/train")[0]).hr
+    # high-frequency energy: mean squared neighbor difference
+    hf = lambda x: float(np.mean(np.square(np.diff(x, axis=0))))
+    assert hf(b) > 5 * hf(a)
+
+
 def test_packed_cache_roundtrip(dataset_root):
     """Packed scenes load identically to PNG-decoded ones."""
     import shutil
