@@ -18,6 +18,12 @@ def main(argv=None):
     parser.add_argument("--submission", default=None, help="write submission zip here")
     parser.add_argument("--splits", nargs="*", default=["val"], choices=["train", "val", "test"])
     parser.add_argument("--top-k", type=int, default=-1)
+    parser.add_argument(
+        "--registered",
+        action="store_true",
+        help="score with ShiftNet+Lanczos registration before the shift search "
+        "(loads the joint checkpoint; BASELINE config #2 protocol)",
+    )
     args = parser.parse_args(argv)
     assert os.path.isfile(args.config), args.config
 
@@ -27,13 +33,25 @@ def main(argv=None):
     config = load_config(args.config)
     train_ds, val_ds, test_ds, baseline = load_data(args.config, top_k=args.top_k)
     model = Model(config)
-    model.load_checkpoint(args.checkpoint)
+    if args.registered:
+        model.load_checkpoint_with_shiftnet(args.checkpoint)
+    else:
+        model.load_checkpoint(args.checkpoint)
 
     datasets = {"train": train_ds, "val": val_ds, "test": test_ds}
     selected = {s: datasets[s] for s in args.splits}
-    scores, clearances, part = evaluate(
-        model.forward, selected, min_l=config["training"]["min_L"]
-    )
+    if args.registered:
+        scores, clearances, part = {}, {}, {}
+        for split, ds in selected.items():
+            for imset in ds:
+                _, sc = model(imset, registered=True)
+                scores[imset.name] = sc
+                clearances[imset.name] = imset.clearances
+                part[imset.name] = split
+    else:
+        scores, clearances, part = evaluate(
+            model.forward, selected, min_l=config["training"]["min_L"]
+        )
     table = benchmark(baseline, scores, part, clearances)
     print(table)
 
