@@ -37,7 +37,8 @@ REGISTER_SIZE = 128  # default ShiftNet input crop (torch-compatible fc geometry
 
 
 def _register_and_warp(
-    shiftnet, sn_params, batch_stats, srs, hrs, offset, dropout_rng, train, register_size=REGISTER_SIZE
+    shiftnet, sn_params, batch_stats, srs, hrs, offset, dropout_rng, train,
+    register_size=REGISTER_SIZE, use_pallas_warp=False,
 ):
     """Predict one shift per SR image vs HR and Lanczos-warp the SR frame."""
     b = srs.shape[0]
@@ -62,7 +63,13 @@ def _register_and_warp(
         thetas = shiftnet.apply(variables, pairs, train=False)
         new_stats = batch_stats
     # net predicts (dx, dy); resampler wants (dy, dx)  [ShiftNet contract]
-    warped = lanczos_shift(srs, jnp.flip(thetas, axis=-1))
+    shifts = jnp.flip(thetas, axis=-1)
+    if use_pallas_warp:
+        from highresnet_tpu.ops.lanczos_pallas import lanczos_shift_pallas
+
+        warped = lanczos_shift_pallas(srs, shifts)
+    else:
+        warped = lanczos_shift(srs, shifts)
     return warped, thetas, new_stats
 
 
@@ -86,6 +93,7 @@ def build_train_step(
     lam = t["lambda"]
     patch = t["patch_size"]
     register_size = t.get("register_size", REGISTER_SIZE)
+    use_pallas_warp = bool(t.get("use_pallas_warp", False))
     offset = (3 * patch - register_size) // 2
     assert offset >= 0, "3*patch_size must cover the registration crop"
     border_mask = jnp.asarray(crop_mask(patch, t["crop"]))
@@ -95,7 +103,7 @@ def build_train_step(
         srs = hrnet.apply({"params": params["hrnet"]}, lrs, alphas)
         warped, thetas, new_stats = _register_and_warp(
             shiftnet, params["shiftnet"], batch_stats, srs, hrs, offset, dropout_rng,
-            train=True, register_size=register_size,
+            train=True, register_size=register_size, use_pallas_warp=use_pallas_warp,
         )
         mask = border_mask[None] * hr_maps
         loss = registered_loss(warped, hrs, mask, thetas, lam)
