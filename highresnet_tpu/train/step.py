@@ -65,9 +65,11 @@ def _register_and_warp(
     # net predicts (dx, dy); resampler wants (dy, dx)  [ShiftNet contract]
     shifts = jnp.flip(thetas, axis=-1)
     if use_pallas_warp:
-        from highresnet_tpu.ops.lanczos_pallas import lanczos_shift_pallas
+        # backend-dispatching: Pallas kernel on TPU, XLA path elsewhere
+        # (Pallas has no compiled CPU lowering)
+        from highresnet_tpu.ops.lanczos_pallas import lanczos_shift_fused
 
-        warped = lanczos_shift_pallas(srs, shifts)
+        warped = lanczos_shift_fused(srs, shifts)
     else:
         warped = lanczos_shift(srs, shifts)
     return warped, thetas, new_stats

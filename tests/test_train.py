@@ -130,6 +130,38 @@ def test_train_step_descends(train_root, tmp_path):
     assert int(state.step) == 8
 
 
+def test_train_step_with_pallas_warp_flag(train_root, tmp_path):
+    """training.use_pallas_warp dispatches by backend (XLA path on CPU)
+    and produces the same loss as the default path."""
+    import copy
+
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    scenes = discover_scenes(f"{train_root}/train")
+    batch = next(iter(BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )))
+
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    losses = {}
+    for flag in (False, True):
+        c = copy.deepcopy(cfg)
+        c["training"]["use_pallas_warp"] = flag
+        state = create_train_state(hrnet, shiftnet, c, jax.random.PRNGKey(0))
+        step = build_train_step(hrnet, shiftnet, c)
+        _, m = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+        losses[flag] = float(m["loss"])
+    assert losses[True] == pytest.approx(losses[False], rel=1e-6)
+
+
 def test_train_e2e_and_resume(train_root, tmp_path):
     """Full orchestration: train 1 epoch, checkpoint, resume for another."""
     from highresnet_tpu.train.loop import train_and_get_best_model
