@@ -114,8 +114,11 @@ lanczos_shift_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
 def lanczos_shift_fused(img: jax.Array, shift: jax.Array, a: int = 3, n: int = 7) -> jax.Array:
-    """Backend-dispatching fused shift: Pallas on TPU, XLA elsewhere."""
-    platform = img.devices().pop().platform if hasattr(img, "devices") else jax.default_backend()
-    if platform == "tpu":
+    """Backend-dispatching fused shift: Pallas on TPU, XLA elsewhere.
+
+    Dispatches on the default backend (resolvable at trace time — concrete
+    arrays are traced inside jit, so per-array device inspection is not).
+    """
+    if jax.default_backend() == "tpu":
         return lanczos_shift_pallas(img, shift, a=a, n=n)
     return lanczos_shift(img, shift, a=a, n=n)
