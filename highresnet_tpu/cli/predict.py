@@ -40,18 +40,13 @@ def main(argv=None):
 
     datasets = {"train": train_ds, "val": val_ds, "test": test_ds}
     selected = {s: datasets[s] for s in args.splits}
-    if args.registered:
-        scores, clearances, part = {}, {}, {}
-        for split, ds in selected.items():
-            for imset in ds:
-                _, sc = model(imset, registered=True)
-                scores[imset.name] = sc
-                clearances[imset.name] = imset.clearances
-                part[imset.name] = split
-    else:
-        scores, clearances, part = evaluate(
-            model.forward, selected, min_l=config["training"]["min_L"]
-        )
+    scores, clearances, part = evaluate(
+        model.forward,
+        selected,
+        min_l=config["training"]["min_L"],
+        registration=model.registration if args.registered else None,
+        register_size=config["training"].get("register_size", 128),
+    )
     table = benchmark(baseline, scores, part, clearances)
     print(table)
 

@@ -162,15 +162,24 @@ def load_model(config: Dict[str, Any], checkpoint_dir: str):
         return hrnet, restored["params"]
 
 
-def evaluate(forward, datasets: Dict[str, SceneDataset], min_l: int = 16):
-    """Score every scene in every split.
+def evaluate(
+    forward,
+    datasets: Dict[str, SceneDataset],
+    min_l: int = 16,
+    registration=None,
+    register_size: int = 128,
+):
+    """Score every scene in every split (optionally ShiftNet-registered).
 
     Returns (scores, clearances, part) dicts keyed by scene name.
     """
     scores, clearances, part = {}, {}, {}
     for split, ds in datasets.items():
         for imset in ds:
-            sr, sc = get_sr_and_score(imset, forward, min_l=min_l)
+            sr, sc = get_sr_and_score(
+                imset, forward, min_l=min_l,
+                registration=registration, register_size=register_size,
+            )
             scores[imset.name] = sc
             clearances[imset.name] = imset.clearances
             part[imset.name] = split
