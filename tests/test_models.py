@@ -73,7 +73,7 @@ def test_decoder_equals_torch_conv_transpose():
     tconv = torch.nn.ConvTranspose2d(c_in, c_out, kernel_size=3, stride=3)
     with torch.no_grad():
         # torch weight layout: (in, out, kh, kw)
-        tconv.weight.copy_(torch.from_numpy(kernel.transpose(2, 3, 0, 1)))
+        tconv.weight.copy_(torch.from_numpy(kernel.transpose(2, 3, 0, 1).copy()))
         tconv.bias.copy_(torch.from_numpy(bias))
         want = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
 
