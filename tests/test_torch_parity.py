@@ -137,6 +137,43 @@ def test_lanczos_shift_parity(ref_modules):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_evaluator_metric_parity():
+    """cPSNR / shift_cPSNR vs the reference Evaluator module itself.
+
+    The reference's DataLoader imports skimage (absent here); a minimal
+    stub satisfies the import so Evaluator's NumPy math runs unmodified.
+    """
+    import types
+
+    if "skimage" not in sys.modules:
+        skimage = types.ModuleType("skimage")
+        skimage.io = types.ModuleType("skimage.io")
+        skimage.io.imread = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
+        skimage.img_as_float = lambda x: x / 65535.0
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.io"] = skimage.io
+    sys.path.insert(0, REF)
+    try:
+        import Evaluator as ref_eval
+
+        from highresnet_tpu.ops.metrics import cpsnr, shift_cpsnr
+
+        rng = np.random.default_rng(0)
+        sr = rng.random((48, 48))
+        hr = rng.random((48, 48))
+        hr_map = (rng.random((48, 48)) > 0.25).astype(np.float64)
+
+        want = ref_eval.cPSNR(sr, hr, hr_map)
+        got = float(cpsnr(sr, hr, hr_map))
+        assert abs(got - want) < 1e-3, (got, want)
+
+        want_s = ref_eval.shift_cPSNR(sr, hr, hr_map)
+        got_s = float(shift_cpsnr(sr, hr, hr_map))
+        assert abs(got_s - want_s) < 1e-3, (got_s, want_s)
+    finally:
+        sys.path.remove(REF)
+
+
 def test_transform_pipeline_parity(ref_modules):
     """ShiftNet.transform's theta flip + warp == models.shiftnet.apply_shifts."""
     _, ref_shiftnet_mod, _ = ref_modules
