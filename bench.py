@@ -61,15 +61,21 @@ def main():
 
         t1, t2 = run_k(k1), run_k(k2)
         step = (t2 - t1) / (k2 - k1)
-        return {
+        dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
+        out = {
             "batch": batch,
             "views": views,
             "lr_size": size,
-            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "dtype": dtype_name,
             "step_time_s": step,
             "scenes_per_sec": batch / step,
             "compile_time_s": compile_time,
         }
+        from highresnet_tpu.utils.flops import hrnet_forward_flops, utilization
+
+        flops = hrnet_forward_flops(DEFAULT_CONFIG["network"], batch, views, size)
+        out.update(utilization(flops, step, dtype_name))
+        return out
 
     def bench_train_step(batch=32, views=32, patch=64, k1=3, k2=13):
         """Full training step: SR forward + ShiftNet registration + Lanczos

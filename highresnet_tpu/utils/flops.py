@@ -1,0 +1,64 @@
+"""Analytic FLOPs accounting for HRNet forwards (perf observability).
+
+Counts multiply-add FLOPs (2 * MACs) of the conv/matmul path for a given
+network config and input geometry; bench.py divides measured step time by
+this to report achieved TFLOP/s and MXU utilization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+# v5e single-chip peak (dense): ~197 TOPS bf16, ~49 TFLOP/s nominal f32.
+# Measured f32 utilization can exceed 1.0 because XLA lowers f32 convs to
+# multi-pass bf16 on the MXU (precision ~f32; our torch-parity tests pass
+# at 1e-4 tolerances under it) — i.e. f32 inference here is MXU-saturated.
+V5E_PEAK_TFLOPS = {"float32": 49.0, "bfloat16": 197.0}
+
+
+def conv_flops(h: int, w: int, cin: int, cout: int, k: int = 3) -> float:
+    return 2.0 * h * w * cin * cout * k * k
+
+
+def hrnet_forward_flops(config: Dict[str, Any], batch: int, views: int, size: int) -> float:
+    """Total forward FLOPs for (batch, views, size, size) inputs."""
+    enc = config.get("encoder", {})
+    rec = config.get("recursive", {})
+    dec = config.get("decoder", {})
+    c = enc.get("channel_size", 64)
+    k = enc.get("kernel_size", 3)
+    n_res = enc.get("num_layers", 2)
+    cin = enc.get("in_channels", 2)
+
+    per_image = conv_flops(size, size, cin, c, k)  # init conv
+    per_image += n_res * 2 * conv_flops(size, size, c, c, k)  # res blocks
+    per_image += conv_flops(size, size, c, c, k)  # final conv
+    total = batch * views * per_image
+
+    # fusion tree: sum over halving rounds of (B * half) fuse blocks
+    cf = rec.get("in_channels", c)
+    kf = rec.get("kernel_size", 3)
+    nviews = views
+    while nviews // 2 > 0:
+        half = nviews // 2
+        fuse_per = 2 * conv_flops(size, size, 2 * cf, 2 * cf, kf) + conv_flops(
+            size, size, 2 * cf, cf, kf
+        )
+        total += batch * half * fuse_per
+        nviews = half
+
+    # decoder: per-pixel matmul C -> 9*C (== deconv k3 s3) + 1x1 conv at 3x res
+    dd = dec.get("deconv", {})
+    df = dec.get("final", {})
+    s = dd.get("stride", 3)
+    cd = dd.get("out_channels", c)
+    total += batch * 2.0 * size * size * cf * cd * s * s
+    total += batch * conv_flops(s * size, s * size, cd, df.get("out_channels", 1),
+                                df.get("kernel_size", 1))
+    return total
+
+
+def utilization(flops: float, seconds: float, dtype: str = "float32") -> Dict[str, float]:
+    tflops = flops / seconds / 1e12
+    peak = V5E_PEAK_TFLOPS.get(dtype, V5E_PEAK_TFLOPS["float32"])
+    return {"achieved_tflops_per_s": round(tflops, 2), "mxu_utilization": round(tflops / peak, 3)}
