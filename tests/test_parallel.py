@@ -128,6 +128,49 @@ def test_2d_mesh_view_sharded_step_matches_single_device():
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
 
 
+def test_mesh_sharded_eval_step():
+    """build_eval_step with a mesh: SR + shift-search scores over sharded batch."""
+    from highresnet_tpu.models.hrnet import HRNet
+    from highresnet_tpu.parallel.mesh import make_mesh, shard_batch
+    from highresnet_tpu.train.step import build_eval_step
+
+    cfg = {
+        "network": {
+            "encoder": {"in_channels": 2, "num_layers": 1, "kernel_size": 3, "channel_size": 4},
+            "recursive": {"alpha_residual": True, "in_channels": 4, "kernel_size": 3},
+            "decoder": {
+                "deconv": {"in_channels": 4, "kernel_size": 3, "stride": 3, "out_channels": 4},
+                "final": {"in_channels": 4, "kernel_size": 1, "out_channels": 1},
+            },
+        },
+        "training": {},
+    }
+    hrnet = HRNet(config=cfg["network"])
+    rng = np.random.default_rng(0)
+    b, l, p = 8, 2, 12
+    lrs = rng.random((b, l, p, p)).astype(np.float32)
+    alphas = np.ones((b, l), np.float32)
+    hrs = rng.random((b, 3 * p, 3 * p)).astype(np.float32)
+    maps = np.ones((b, 3 * p, 3 * p), np.float32)
+    variables = hrnet.init(jax.random.PRNGKey(0), jnp_asarray(lrs), jnp_asarray(alphas))
+
+    single = build_eval_step(hrnet, cfg)
+    srs1, scores1 = single(variables["params"], lrs, alphas, hrs, maps)
+
+    mesh = make_mesh()
+    sharded = build_eval_step(hrnet, cfg, mesh=mesh)
+    args = shard_batch(mesh, (lrs, alphas, hrs, maps))
+    srs8, scores8 = sharded(variables["params"], *args)
+    np.testing.assert_allclose(np.asarray(scores1), np.asarray(scores8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(srs1), np.asarray(srs8), atol=1e-5)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
