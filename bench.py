@@ -19,12 +19,15 @@ Details (all configs, compile times) go to BENCH_DETAILS.json.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def main(smoke: bool = False):
+    """smoke=True: tiny shapes on whatever backend is available — exists so
+    the test suite can catch bench.py bitrot before the driver needs it."""
     import jax
     import jax.numpy as jnp
 
@@ -129,6 +132,20 @@ def main():
 
     details = {"device": str(jax.devices()[0]), "configs": []}
 
+    if smoke:
+        cfg = bench_config(batch=1, views=2, size=16, k1=1, k2=3)
+        print(
+            json.dumps(
+                {
+                    "metric": "SMOKE scenes/sec (1x2x16px)",
+                    "value": round(cfg["scenes_per_sec"], 3),
+                    "unit": "scenes/sec",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
+
     headline = bench_config(batch=8, views=16, size=128)
     details["configs"].append(headline)
     # published-config point (32 views @128, V100 baseline 5 scenes/sec)
@@ -157,4 +174,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(smoke="--smoke" in sys.argv)

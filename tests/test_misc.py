@@ -98,6 +98,28 @@ def test_batch_loader_abandoned_iterator_stops_producer(tmp_path):
     assert threading.active_count() <= before
 
 
+def test_bench_smoke():
+    """bench.py must keep working — the driver's round metric depends on it."""
+    import io
+    import json
+    import sys as _sys
+
+    sys_path_added = "/root/repo" not in _sys.path
+    import bench
+
+    captured = io.StringIO()
+    stdout = _sys.stdout
+    _sys.stdout = captured
+    try:
+        bench.main(smoke=True)
+    finally:
+        _sys.stdout = stdout
+    line = captured.getvalue().strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0
+
+
 def test_crop_mask_zero_crop():
     from highresnet_tpu.ops.losses import crop_mask
 
