@@ -205,7 +205,10 @@ def benchmark(baseline_cpsnrs, scores, part, clearances):
     try:
         import pandas as pd
 
-        return pd.DataFrame(rows).T
+        df = pd.DataFrame(rows).T
+        for col in ("ESA", "model", "score", "mean_clr", "std_clr"):
+            df[col] = pd.to_numeric(df[col], errors="coerce")
+        return df
     except ImportError:  # pragma: no cover
         return rows
 

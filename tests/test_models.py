@@ -74,7 +74,7 @@ def test_decoder_equals_torch_conv_transpose():
     with torch.no_grad():
         # torch weight layout: (in, out, kh, kw)
         tconv.weight.copy_(torch.from_numpy(kernel.transpose(2, 3, 0, 1).copy()))
-        tconv.bias.copy_(torch.from_numpy(bias))
+        tconv.bias.copy_(torch.from_numpy(bias.copy()))
         want = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
 
     s = 3
