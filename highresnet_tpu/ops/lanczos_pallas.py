@@ -15,13 +15,15 @@ On non-TPU backends the kernel runs in interpreter mode (tests); use
 ``lanczos_shift_fused`` which dispatches by backend and falls back to the
 pure-XLA path when Pallas is unavailable.
 
-Status note: on this project's development setup the TPU is reached
-through a relay where sub-millisecond timings are unreliable, so the
-XLA-vs-Pallas comparison at (128, 192, 192) was inconclusive (each won in
-different runs; both in the 100-400us range, i.e. a small fraction of a
-train step). The XLA path therefore remains the default on the training
-path; this kernel compiles and matches on real hardware and is the
-starting point for direct-attached profiling.
+Status note (measured, relay-robust method — thousands of chained warps
+inside one jit program, slope across two program sizes): at
+(128, 192, 192) f32 the XLA lowering runs at 49 us/warp = 768 GB/s
+effective, ~94% of v5e HBM bandwidth — the speed of light for this
+read-once/write-once op — while this kernel measures 254 us/warp
+(one image per sequential grid step pipelines poorly, and the in-kernel
+concatenates copy within VMEM). The XLA path is therefore the default and
+the right one; this kernel remains as the Pallas reference implementation
+and a starting point for block-batched variants.
 """
 
 from __future__ import annotations
