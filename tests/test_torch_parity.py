@@ -87,6 +87,29 @@ def test_hrnet_forward_parity(ref_modules):
     assert d.max() < 1e-3, d
 
 
+def test_hrnet_parity_across_view_counts(ref_modules):
+    """L=2 (the default config's min_L) and odd L=5 (view-drop round)."""
+    ref_hrnet_mod, _, _ = ref_modules
+    torch.manual_seed(2)
+    ref_model = ref_hrnet_mod.HRNet(NET_CONFIG).eval()
+
+    from highresnet_tpu.models.convert import hrnet_params_from_torch
+    from highresnet_tpu.models.hrnet import HRNet
+
+    import jax.numpy as jnp
+
+    params = hrnet_params_from_torch(ref_model.state_dict())
+    model = HRNet(config=NET_CONFIG)
+    rng = np.random.default_rng(2)
+    for l in (2, 5):
+        lrs = rng.random((1, l, 24, 24)).astype(np.float32)
+        alphas = np.ones((1, l), np.float32)
+        with torch.no_grad():
+            want = ref_model(torch.from_numpy(lrs), torch.from_numpy(alphas))[:, 0].numpy()
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(lrs), jnp.asarray(alphas)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
 def test_shiftnet_forward_parity(ref_modules):
     _, ref_shiftnet_mod, _ = ref_modules
     torch.manual_seed(1)
