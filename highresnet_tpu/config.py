@@ -53,6 +53,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "patch_size": 64,
         "val_proportion": 0.10,
         "lambda": 0.000001,
+        # training criterion: 'cPSNR' (reference objective), 'cMSE', or
+        # 'masked_MSE' (reference switch: src/train.py:66-87)
+        "loss": "cPSNR",
         # TPU-native additions (absent keys default sensibly):
         "seed": 123,
         "compute_dtype": "float32",  # or "bfloat16"

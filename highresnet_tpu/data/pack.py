@@ -48,10 +48,41 @@ def pack_scenes(scene_dirs: Sequence[str]) -> None:
         pack_scene(d)
 
 
+def _pack_is_stale(scene_dir: str, pack_mtime: float) -> bool:
+    """True if any source asset (PNG / clearance.npy) postdates the pack.
+
+    A stat() per asset is negligible next to the decode the pack avoids;
+    without this, edited or re-generated scenes would be silently served
+    from the old cache.
+    """
+    try:
+        with os.scandir(scene_dir) as it:
+            for entry in it:
+                name = entry.name
+                if name == PACK_NAME:
+                    continue
+                if name.endswith(".png") or name == "clearance.npy":
+                    if entry.stat().st_mtime > pack_mtime:
+                        return True
+    except OSError:
+        return True
+    return False
+
+
 def load_pack(scene_dir: str) -> Optional[dict]:
-    """Load a scene's pack if present, else None."""
+    """Load a scene's pack if present and fresh, else None."""
     path = join(scene_dir, PACK_NAME)
-    if not os.path.isfile(path):
+    try:
+        pack_mtime = os.stat(path).st_mtime
+    except OSError:
+        return None
+    if _pack_is_stale(scene_dir, pack_mtime):
+        import warnings
+
+        warnings.warn(
+            f"{path} is older than its source assets; ignoring the pack "
+            f"(re-run highresnet_tpu.cli.pack_dataset)"
+        )
         return None
     with np.load(path, allow_pickle=False) as z:
         return {k: z[k] for k in z.files}

@@ -44,21 +44,48 @@ def cpsnr_loss(sr: jax.Array, hr: jax.Array, mask: jax.Array) -> jax.Array:
     return -10.0 * jnp.log10(cmse(sr, hr, mask))
 
 
+LOSS_METRICS = ("cPSNR", "cMSE", "masked_MSE")
+
+
+def get_loss(sr: jax.Array, hr: jax.Array, mask: jax.Array, metric: str = "cMSE") -> jax.Array:
+    """Per-image training criterion, selected by name.
+
+    Mirrors the reference's three-way `get_loss` switch
+    (/root/reference/src/train.py:66-87): 'masked_MSE' averages over the
+    full image area, 'cMSE' is the bias-corrected masked MSE, and 'cPSNR'
+    is -10*log10(cMSE) (higher is better — callers minimizing it negate).
+    """
+    if metric == "masked_MSE":
+        return masked_mse_loss(sr, hr, mask)
+    if metric == "cMSE":
+        return cmse(sr, hr, mask)
+    if metric == "cPSNR":
+        return cpsnr_loss(sr, hr, mask)
+    raise ValueError(f"unknown loss metric {metric!r}; expected one of {LOSS_METRICS}")
+
+
 def registered_loss(
     sr_shifted: jax.Array,
     hr: jax.Array,
     mask: jax.Array,
     shifts: jax.Array,
     lam: float,
+    metric: str = "cPSNR",
 ) -> jax.Array:
-    """Total training loss: mean(-cPSNR) + lam * mean(shifts)^2.
+    """Total training loss: mean(criterion) + lam * mean(shifts)^2.
+
+    With the default metric the criterion is -cPSNR, matching the
+    reference training objective (`loss = -get_loss(..., metric='cPSNR')`,
+    src/train.py:185); 'cMSE'/'masked_MSE' are minimized directly.
 
     Note the regularizer is lambda times the SQUARE OF THE MEAN of all shift
     components (reference: `lambda * torch.mean(shifts)**2`,
     src/train.py:187) — it penalizes a net translation bias, not magnitude.
     """
-    loss = jnp.mean(-cpsnr_loss(sr_shifted, hr, mask))
-    return loss + lam * jnp.square(jnp.mean(shifts))
+    per_image = get_loss(sr_shifted, hr, mask, metric=metric)
+    if metric == "cPSNR":
+        per_image = -per_image
+    return jnp.mean(per_image) + lam * jnp.square(jnp.mean(shifts))
 
 
 def crop_mask(patch_size: int, crop: int) -> np.ndarray:

@@ -17,9 +17,11 @@ from __future__ import annotations
 import datetime
 import os
 import time
+import warnings
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from highresnet_tpu.data.collate import collate
@@ -57,37 +59,70 @@ def evaluate_model(
     beta: float,
     batch_size: int = 1,
     mesh=None,
-) -> float:
+    return_images: bool = False,
+):
     """Validation score over full-resolution scenes.
 
     With norm.csv: mean of ESA/model cPSNR ratios (lower is better, <1
     beats the ESA baseline). Without: mean of -shift_cPSNR.
+
+    Scenes absent from norm.csv or scoring a nonpositive cPSNR are skipped
+    with a warning instead of crashing / poisoning the mean (the reference
+    KeyErrors on the former and divides by the latter, src/train.py:214-215).
+
+    A ragged final batch is padded (by repeating the last scene) to keep
+    the eval step's compiled shape static — required both for one-program
+    execution and for mesh-sharded eval; padded scores are discarded.
+
+    With return_images=True also returns (sr0, hr0) of the first scene for
+    TensorBoard image logging (reference: src/train.py:226-228).
     """
     # dispatch all eval batches first, read scores back once at the end
     # (device transports with high readback latency would otherwise sync
     # once per batch)
     pending = []  # (names, device scores)
+    first_srs = None
+    first_hr = None
     for start in range(0, len(val_scenes), batch_size):
         dirs = val_scenes[start : start + batch_size]
         sets = [read_imageset(d, top_k=top_k, beta=beta) for d in dirs]
+        n_real = len(sets)
+        if n_real < batch_size:  # pad to the compiled static batch shape
+            sets = sets + [sets[-1]] * (batch_size - n_real)
         batch = collate(sets, min_l)
         args = (batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
-        if mesh is not None and len(dirs) == batch_size:
+        if mesh is not None:
             args = shard_batch(mesh, args)
-        _, scores = eval_step(params_hrnet, *args)
-        pending.append((batch.names, scores))
+        srs, scores = eval_step(params_hrnet, *args)
+        if return_images and first_srs is None:
+            first_srs = srs  # device ref; fetched once below
+            first_hr = batch.hrs[0]
+        pending.append((batch.names[:n_real], scores))
 
     total = 0.0
     n = 0
     for names, scores in pending:
         scores = np.asarray(scores)
         for name, s in zip(names, scores):
+            s = float(s)
+            if baseline_cpsnrs is not None and name not in baseline_cpsnrs:
+                warnings.warn(f"scene {name!r} missing from norm.csv; skipped in val score")
+                continue
+            if s <= 0.0 or not np.isfinite(s):
+                warnings.warn(f"scene {name!r} scored non-positive cPSNR {s}; skipped")
+                continue
             if baseline_cpsnrs is not None:
-                total += baseline_cpsnrs[name] / float(s)
+                total += baseline_cpsnrs[name] / s
             else:
-                total -= float(s)
+                total -= s
             n += 1
-    return total / max(n, 1)
+    if n == 0:
+        warnings.warn("no scorable validation scenes; returning +inf val score")
+    score = total / n if n else float("inf")
+    if return_images:
+        sr0 = np.asarray(first_srs[0]) if first_srs is not None else None
+        return score, sr0, first_hr
+    return score
 
 
 def train_and_get_best_model(
@@ -149,15 +184,20 @@ def train_and_get_best_model(
     )
 
     # --- models / state -------------------------------------------------------
-    import jax.numpy as jnp
-
     dtype = jnp.bfloat16 if t.get("compute_dtype") == "bfloat16" else jnp.float32
     hrnet = HRNet(config=config["network"], dtype=dtype)
     shiftnet = ShiftNet(dtype=dtype)
     state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
 
     train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh)
-    eval_step = build_eval_step(hrnet, config, mesh=None)  # val batch=1 default
+    # the eval step rides the same mesh when the eval batch divides it
+    # (padded final batches keep the compiled shape static); batch=1
+    # stays single-device like the reference val loop (src/train.py:284)
+    eval_batch = t.get("eval_batch_size", 1)
+    eval_mesh = None
+    if mesh is not None and eval_batch > 1 and eval_batch % mesh.devices.size == 0:
+        eval_mesh = mesh
+    eval_step = build_eval_step(hrnet, config, mesh=eval_mesh)
 
     if run_dir is None:
         run_dir = os.path.join(paths["checkpoint_dir"], _run_dir_name(t))
@@ -194,23 +234,39 @@ def train_and_get_best_model(
         # accumulate the loss ON DEVICE: reading a scalar back per step
         # would force a host sync every step (very expensive on remote
         # device transports); one readback per epoch instead
-        epoch_loss_dev = None
+        epoch_dev = None  # stacked (loss*n, mean_abs_shift, grad_norm) on device
         n_seen = 0
+        n_steps_epoch = 0
         t0 = time.time()
         for batch in loader:
             args = (batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
             if mesh is not None:
                 args = shard_batch(mesh, args)
             state, metrics = train_step(state, *args)
-            contrib = metrics["loss"] * len(batch.names)
-            epoch_loss_dev = contrib if epoch_loss_dev is None else epoch_loss_dev + contrib
+            contrib = jnp.stack(
+                [
+                    metrics["loss"] * len(batch.names),
+                    metrics["mean_abs_shift"],
+                    metrics["grad_norm"],
+                ]
+            )
+            epoch_dev = contrib if epoch_dev is None else epoch_dev + contrib
             n_seen += len(batch.names)
+            n_steps_epoch += 1
             steps_done += 1
             if max_steps is not None and steps_done >= max_steps:
                 break
-        train_loss = float(epoch_loss_dev) / max(n_seen, 1) if n_seen else 0.0
+        if n_seen:
+            epoch_sums = np.asarray(epoch_dev)  # one host sync per epoch
+            train_loss = float(epoch_sums[0]) / n_seen
+            mean_abs_shift = float(epoch_sums[1]) / n_steps_epoch
+            grad_norm = float(epoch_sums[2]) / n_steps_epoch
+        else:
+            train_loss = mean_abs_shift = grad_norm = 0.0
 
-        val_score = evaluate_model(
+        # fetch the first val SR only when a writer will log it (an image
+        # readback per epoch is wasted bandwidth on remote transports)
+        val_out = evaluate_model(
             state.params["hrnet"],
             eval_step,
             val_list,
@@ -218,8 +274,14 @@ def train_and_get_best_model(
             baseline,
             top_k=t["n_views"],
             beta=t["beta"],
-            batch_size=t.get("eval_batch_size", 1),
+            batch_size=eval_batch,
+            mesh=eval_mesh,
+            return_images=writer is not None,
         )
+        if writer is not None:
+            val_score, sr0, hr0 = val_out
+        else:
+            val_score, sr0, hr0 = val_out, None, None
 
         if val_score < best_score:
             best_score = val_score
@@ -248,6 +310,18 @@ def train_and_get_best_model(
             writer.add_scalar("train/loss", train_loss, epoch)
             writer.add_scalar("train/val_loss", val_score, epoch)
             writer.add_scalar("train/lr", new_lr, epoch)
+            writer.add_scalar("train/mean_abs_shift", mean_abs_shift, epoch)
+            writer.add_scalar("train/grad_norm", grad_norm, epoch)
+            if sr0 is not None:
+                # reference logs the first val SR min-max normalized and the
+                # raw HR-SR error map each epoch (src/train.py:226-228)
+                sr0 = np.asarray(sr0, np.float32)
+                lo, hi = float(sr0.min()), float(sr0.max())
+                norm = (sr0 - lo) / max(hi - lo, 1e-12)
+                writer.add_image("SR Image", norm, epoch, dataformats="HW")
+                writer.add_image(
+                    "Error Map", np.asarray(hr0, np.float32) - sr0, epoch, dataformats="HW"
+                )
         print(
             f"epoch {epoch}/{num_epochs} loss={train_loss:.4f} "
             f"val={val_score:.4f} best={best_score:.4f} lr={new_lr:.2e} "

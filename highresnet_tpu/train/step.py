@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from highresnet_tpu.models.hrnet import HRNet
 from highresnet_tpu.models.shiftnet import ShiftNet
-from highresnet_tpu.ops.losses import crop_mask, registered_loss
+from highresnet_tpu.ops.losses import LOSS_METRICS, crop_mask, registered_loss
 from highresnet_tpu.ops.lanczos import lanczos_shift
 from highresnet_tpu.ops.metrics import shift_cpsnr_batch
 from highresnet_tpu.train.state import TrainState, make_optimizer
@@ -96,6 +96,12 @@ def build_train_step(
     patch = t["patch_size"]
     register_size = t.get("register_size", REGISTER_SIZE)
     use_pallas_warp = bool(t.get("use_pallas_warp", False))
+    loss_metric = t.get("loss", "cPSNR")
+    if loss_metric not in LOSS_METRICS:
+        raise ValueError(
+            f"training.loss={loss_metric!r} not in {LOSS_METRICS} "
+            "(reference switch: src/train.py:66-87)"
+        )
     offset = (3 * patch - register_size) // 2
     assert offset >= 0, "3*patch_size must cover the registration crop"
     border_mask = jnp.asarray(crop_mask(patch, t["crop"]))
@@ -108,7 +114,7 @@ def build_train_step(
             train=True, register_size=register_size, use_pallas_warp=use_pallas_warp,
         )
         mask = border_mask[None] * hr_maps
-        loss = registered_loss(warped, hrs, mask, thetas, lam)
+        loss = registered_loss(warped, hrs, mask, thetas, lam, metric=loss_metric)
         return loss, (new_stats, thetas)
 
     def step(state: TrainState, lrs, alphas, hrs, hr_maps):

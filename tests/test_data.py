@@ -219,6 +219,32 @@ def test_packed_cache_roundtrip(dataset_root):
         os.remove(pack_path)
 
 
+def test_packed_cache_staleness(dataset_root):
+    """A pack older than its source PNGs is ignored with a warning."""
+    import os
+
+    from highresnet_tpu.data.pack import load_pack, pack_scene
+
+    scenes = discover_scenes(f"{dataset_root}/train")
+    scene = scenes[1]
+    pack_path = pack_scene(scene)
+    try:
+        assert load_pack(scene) is not None
+        # touch one source PNG to be newer than the pack
+        lr0 = os.path.join(scene, "LR000.png")
+        future = os.stat(pack_path).st_mtime + 10
+        os.utime(lr0, (future, future))
+        with pytest.warns(UserWarning, match="older than its source"):
+            assert load_pack(scene) is None
+        # re-packing makes it fresh again (the PNG was stamped 10 s into
+        # the future above, so stamp the new pack past it)
+        pack_scene(scene)
+        os.utime(pack_path, (future + 10, future + 10))
+        assert load_pack(scene) is not None
+    finally:
+        os.remove(pack_path)
+
+
 def test_config_load(tmp_path):
     from highresnet_tpu.config import DEFAULT_CONFIG, load_config
 

@@ -216,3 +216,64 @@ def test_transform_pipeline_parity(ref_modules):
 
     got = np.asarray(apply_shifts(jnp.asarray(imgs), jnp.asarray(thetas)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def _torch_vgg19_features():
+    """The torchvision vgg19 `features` conv stack rebuilt in plain torch
+    (torchvision is absent here): config E = [64,64,M,128,128,M,256,256,
+    256,256,M,512,512,512,512,M,512...]; we need layers [:29]."""
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+            512, 512, 512, 512, "M", 512]
+    layers = []
+    in_ch = 3
+    for item in plan:
+        if item == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(in_ch, item, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=False))
+            in_ch = item
+    # truncate to features[:29] like the reference (VGGFeatureExtractor.py:22)
+    return torch.nn.Sequential(*layers[:29])
+
+
+def test_vgg_extractor_parity(tmp_path):
+    """A torch-format vgg19 state dict, exported via cli.export_vgg_weights
+    and loaded by VGGFeatureExtractor, reproduces the torch conv stack's
+    tapped activations (reference taps: VGGFeatureExtractor.py:11,35-42)."""
+    torch.manual_seed(0)
+    vgg = _torch_vgg19_features().eval()
+    # save with torchvision-style 'features.N.*' keys
+    state = {f"features.{k}": v for k, v in vgg.state_dict().items()}
+    pth = tmp_path / "vgg19_rand.pth"
+    torch.save(state, pth)
+
+    npz = tmp_path / "vgg19_rand.npz"
+    from highresnet_tpu.cli.export_vgg_weights import main as export_main
+
+    export_main(["--torch-weights", str(pth), "--out", str(npz)])
+
+    rng = np.random.default_rng(0)
+    img = rng.random((48, 48)).astype(np.float32)
+
+    # torch oracle: grayscale->3ch, ImageNet normalize, tap {0,5,10,19,28}
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    x = torch.from_numpy(np.stack([img] * 3, 0))[None]
+    x = (x - mean) / std
+    want = {}
+    with torch.no_grad():
+        for name, layer in vgg._modules.items():
+            x = layer(x)
+            if name in ("0", "5", "10", "19", "28"):
+                want[name] = x.numpy()
+
+    from highresnet_tpu.models.vgg import VGGFeatureExtractor
+
+    for path in (str(npz), str(pth)):  # both load formats
+        ex = VGGFeatureExtractor(weights_path=path)
+        got = ex(img)
+        assert set(got) == set(want)
+        for name in want:
+            g = np.moveaxis(np.asarray(got[name]), -1, 1)  # NHWC -> NCHW
+            np.testing.assert_allclose(g, want[name], rtol=1e-4, atol=1e-4)

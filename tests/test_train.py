@@ -202,6 +202,142 @@ def test_train_e2e_and_resume(train_root, tmp_path):
     assert os.path.isdir(os.path.join(run_dir, latest["slot"]))
 
 
+def test_loss_metric_selectable(train_root, tmp_path):
+    """training.loss threads through to the objective (reference switch:
+    src/train.py:66-87); all three metrics train a finite step."""
+    import copy
+
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    scenes = discover_scenes(f"{train_root}/train")
+    batch = next(iter(BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )))
+
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    losses = {}
+    for metric in ("cPSNR", "cMSE", "masked_MSE"):
+        c = copy.deepcopy(cfg)
+        c["training"]["loss"] = metric
+        state = create_train_state(hrnet, shiftnet, c, jax.random.PRNGKey(0))
+        step = build_train_step(hrnet, shiftnet, c)
+        _, m = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+        losses[metric] = float(m["loss"])
+    assert all(np.isfinite(v) for v in losses.values()), losses
+    # -cPSNR is in (negative) dB; the MSE metrics are small positives
+    assert losses["cPSNR"] < 0 < losses["cMSE"]
+    assert losses["cMSE"] != losses["masked_MSE"]
+
+    c = copy.deepcopy(cfg)
+    c["training"]["loss"] = "nonsense"
+    with pytest.raises(ValueError, match="training.loss"):
+        build_train_step(hrnet, shiftnet, c)
+
+
+def test_evaluate_model_guards_and_padding(train_root, tmp_path):
+    """Missing norm.csv entries and nonpositive scores are skipped with a
+    warning; ragged final batches are padded to the static compiled shape
+    (padded scores discarded)."""
+    from highresnet_tpu.train.loop import evaluate_model
+
+    scenes = ["sA", "sB", "sC"]
+    shapes_seen = []
+
+    def fake_eval_step(params, lrs, alphas, hrs, hr_maps):
+        shapes_seen.append(lrs.shape)
+        b = lrs.shape[0]
+        return np.zeros((b, 48, 48)), np.full((b,), 50.0)
+
+    def fake_read(d, top_k=None, beta=0.0):
+        from highresnet_tpu.data.probav import ImageSet
+
+        lr = np.zeros((4, 16, 16), np.float32)
+        return ImageSet(
+            name=d, lr=lr,
+            hr=np.zeros((48, 48), np.float32),
+            hr_map=np.ones((48, 48), np.float32),
+            clearances=np.ones(4),
+        )
+
+    import highresnet_tpu.train.loop as loop_mod
+
+    orig = loop_mod.read_imageset
+    loop_mod.read_imageset = fake_read
+    try:
+        # baseline has sA, sB but NOT sC -> sC skipped with a warning;
+        # 3 scenes at batch_size=2 -> last batch padded to 2
+        baseline = {"sA": 48.0, "sB": 52.0}
+        with pytest.warns(UserWarning, match="missing from norm.csv"):
+            score = evaluate_model(
+                None, fake_eval_step, scenes, 4, baseline,
+                top_k=4, beta=0.0, batch_size=2,
+            )
+        assert score == pytest.approx((48.0 / 50.0 + 52.0 / 50.0) / 2)
+        assert all(s[0] == 2 for s in shapes_seen), shapes_seen
+
+        # nonpositive model score is skipped, not divided by
+        def zero_step(params, lrs, alphas, hrs, hr_maps):
+            b = lrs.shape[0]
+            scores = np.full((b,), 50.0)
+            scores[0] = 0.0
+            return np.zeros((b, 48, 48)), scores
+
+        with pytest.warns(UserWarning, match="non-positive"):
+            score = evaluate_model(
+                None, zero_step, scenes[:2], 4, baseline,
+                top_k=4, beta=0.0, batch_size=2,
+            )
+        assert score == pytest.approx(52.0 / 50.0)
+    finally:
+        loop_mod.read_imageset = orig
+
+
+def test_tb_logging_images_and_scalars(train_root, tmp_path, monkeypatch):
+    """The loop logs per-epoch SR image + error map (reference:
+    src/train.py:226-228) and the shift/grad-norm scalars."""
+    import tensorboardX
+
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    records = {"scalars": [], "images": []}
+
+    class FakeWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_scalar(self, tag, value, step):
+            records["scalars"].append((tag, float(value), step))
+
+        def add_image(self, tag, img, step, dataformats="HW"):
+            records["images"].append((tag, np.asarray(img), dataformats))
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(tensorboardX, "SummaryWriter", FakeWriter)
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["paths"]["tb_log_file_dir"] = str(tmp_path / "tb")
+    train_and_get_best_model(cfg, run_dir=str(tmp_path / "run_tb"))
+
+    tags = {t for t, _, _ in records["scalars"]}
+    assert {"train/loss", "train/val_loss", "train/lr",
+            "train/mean_abs_shift", "train/grad_norm"} <= tags
+    img_tags = [t for t, _, _ in records["images"]]
+    assert img_tags.count("SR Image") == 1 and img_tags.count("Error Map") == 1
+    sr_img = next(i for t, i, _ in records["images"] if t == "SR Image")
+    assert sr_img.ndim == 2 and np.isfinite(sr_img).all()
+    assert 0.0 <= sr_img.min() and sr_img.max() <= 1.0 + 1e-6
+
+
 def test_eval_step_scores(train_root, tmp_path):
     import jax
 
