@@ -80,7 +80,7 @@ def main(smoke: bool = False):
         out.update(utilization(flops, step, dtype_name))
         return out
 
-    def bench_train_step(batch=32, views=32, patch=64, k1=3, k2=13):
+    def bench_train_step(batch=32, views=32, patch=64, dtype=jnp.float32, k1=3, k2=13):
         """Full training step: SR forward + ShiftNet registration + Lanczos
         warp + registered cPSNR loss + joint Adam backward (config #3)."""
         import copy
@@ -88,12 +88,13 @@ def main(smoke: bool = False):
         from highresnet_tpu.models.shiftnet import ShiftNet
         from highresnet_tpu.train.state import create_train_state
         from highresnet_tpu.train.step import build_train_step
+        from highresnet_tpu.utils.flops import train_step_flops, utilization
 
         cfg = copy.deepcopy(DEFAULT_CONFIG)
         cfg["training"].update({"batch_size": batch, "n_views": views, "min_L": views,
                                 "patch_size": patch})
-        hrnet = HRNet(config=cfg["network"])
-        shiftnet = ShiftNet()
+        hrnet = HRNet(config=cfg["network"], dtype=dtype)
+        shiftnet = ShiftNet(dtype=dtype)
         state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
         step = build_train_step(hrnet, shiftnet, cfg)
         rng = np.random.default_rng(0)
@@ -119,15 +120,62 @@ def main(smoke: bool = False):
 
         t1, t2 = run_k(k1), run_k(k2)
         dt = (t2 - t1) / (k2 - k1)
-        return {
+        dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
+        out = {
             "kind": "train_step",
             "batch": batch,
             "views": views,
             "patch": patch,
+            "dtype": dtype_name,
             "step_time_s": dt,
             "scenes_per_sec": batch / dt,
             "compile_time_s": compile_time,
             "projected_400epoch_1160scene_hours": 400 * 1160 / (batch / dt) / 3600,
+        }
+        flops = train_step_flops(DEFAULT_CONFIG["network"], batch, views, patch)
+        out.update(utilization(flops, dt, dtype_name))
+        return out
+
+    def bench_eval_step(batch=8, views=16, size=128, k1=3, k2=13):
+        """Validation step: SR forward + on-device 7x7 shift-search cPSNR
+        over full-resolution scenes (the val-epoch hot path)."""
+        from highresnet_tpu.train.step import build_eval_step
+
+        hrnet = HRNet(config=DEFAULT_CONFIG["network"])
+        rng = np.random.default_rng(0)
+        lrs = jnp.asarray(rng.random((batch, views, size, size)), jnp.float32)
+        alphas = jnp.ones((batch, views), jnp.float32)
+        hrs = jnp.asarray(rng.random((batch, 3 * size, 3 * size)), jnp.float32)
+        maps = jnp.ones((batch, 3 * size, 3 * size), jnp.float32)
+        variables = hrnet.init(jax.random.PRNGKey(0), lrs, alphas)
+        eval_step = build_eval_step(hrnet, DEFAULT_CONFIG)
+
+        def run_once():
+            _, scores = eval_step(variables["params"], lrs, alphas, hrs, maps)
+            return scores
+
+        t0 = time.perf_counter()
+        float(run_once()[0])
+        compile_time = time.perf_counter() - t0
+
+        def run_k(k):
+            t0 = time.perf_counter()
+            s = None
+            for _ in range(k):
+                s = run_once()
+            float(s[0])
+            return time.perf_counter() - t0
+
+        t1, t2 = run_k(k1), run_k(k2)
+        dt = (t2 - t1) / (k2 - k1)
+        return {
+            "kind": "eval_step",
+            "batch": batch,
+            "views": views,
+            "lr_size": size,
+            "step_time_s": dt,
+            "scenes_per_sec": batch / dt,
+            "compile_time_s": compile_time,
         }
 
     details = {"device": str(jax.devices()[0]), "configs": []}
@@ -154,8 +202,11 @@ def main(smoke: bool = False):
     details["configs"].append(bench_config(batch=8, views=16, size=128, dtype=jnp.bfloat16))
     # single-scene latency (reference: < 0.2 s/scene for 32 views @128, V100)
     details["configs"].append(bench_config(batch=1, views=32, size=128))
-    # full training step (reference: 400 epochs < 9 h on V100)
+    # full training step (reference: 400 epochs < 9 h on V100), f32 AND bf16
     details["configs"].append(bench_train_step())
+    details["configs"].append(bench_train_step(dtype=jnp.bfloat16))
+    # validation epoch hot path (full-res scenes + on-device shift search)
+    details["configs"].append(bench_eval_step())
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

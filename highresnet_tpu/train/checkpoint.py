@@ -28,8 +28,15 @@ from highresnet_tpu.train.state import TrainState
 
 
 class CheckpointManager:
+    """Multi-host note: Orbax saves are COLLECTIVE in a multi-process
+    runtime — every process must call save_state/save_best/wait (Orbax
+    coordinates; the primary host writes). Plain-file writes (latest.json,
+    best_score.json) happen on process 0 only; run_dir must be shared
+    storage across hosts."""
+
     def __init__(self, run_dir: str):
         self.run_dir = os.path.abspath(run_dir)
+        self._primary = jax.process_index() == 0
         os.makedirs(self.run_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self._pending: Optional[Tuple[str, Dict[str, Any]]] = None  # (slot, host_state)
@@ -52,8 +59,9 @@ class CheckpointManager:
         if self._pending is None:
             return
         slot, host_state = self._pending
-        with open(self._latest_path(), "w") as f:
-            json.dump({"slot": slot, **host_state}, f)
+        if self._primary:
+            with open(self._latest_path(), "w") as f:
+                json.dump({"slot": slot, **host_state}, f)
         self._last_slot = slot
         self._pending = None
 
@@ -86,8 +94,9 @@ class CheckpointManager:
         payload = {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
-        with open(os.path.join(self.run_dir, "best_score.json"), "w") as f:
-            json.dump({"score": float(score)}, f)
+        if self._primary:
+            with open(os.path.join(self.run_dir, "best_score.json"), "w") as f:
+                json.dump({"score": float(score)}, f)
 
     def load_best(self, template: Dict[str, Any]) -> Dict[str, Any]:
         path = os.path.join(self.run_dir, "best")

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from highresnet_tpu.data.collate import collate
-from highresnet_tpu.data.pipeline import BatchLoader
+from highresnet_tpu.data.pipeline import BatchLoader, shard_for_hosts
 from highresnet_tpu.data.probav import (
     discover_scenes,
     read_baseline_cpsnr,
@@ -34,11 +34,29 @@ from highresnet_tpu.data.probav import (
 )
 from highresnet_tpu.models.hrnet import HRNet
 from highresnet_tpu.models.shiftnet import ShiftNet
+from highresnet_tpu.parallel.distributed import (
+    broadcast_string,
+    global_from_replicated,
+    is_multihost,
+    make_global_batch,
+    maybe_initialize,
+    replicate_to_mesh,
+)
 from highresnet_tpu.parallel.mesh import make_mesh, shard_batch
 from highresnet_tpu.train.checkpoint import CheckpointManager
 from highresnet_tpu.train.schedule import ReduceLROnPlateau
 from highresnet_tpu.train.state import create_train_state
 from highresnet_tpu.train.step import build_eval_step, build_train_step
+
+# (lrs, alphas, hrs, hr_maps) partition specs: batch axis over 'data'
+from jax.sharding import PartitionSpec as _P
+
+_BATCH_SPECS = (
+    _P("data", None, None, None),
+    _P("data", None),
+    _P("data", None, None),
+    _P("data", None, None),
+)
 
 
 def _run_dir_name(t: Dict[str, Any]) -> str:
@@ -92,7 +110,12 @@ def evaluate_model(
         batch = collate(sets, min_l)
         args = (batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
         if mesh is not None:
-            args = shard_batch(mesh, args)
+            if is_multihost():
+                # every host loads the full val batch; cut global arrays
+                # out of the replicated copies (no cross-host input moves)
+                args = global_from_replicated(mesh, args, _BATCH_SPECS)
+            else:
+                args = shard_batch(mesh, args)
         srs, scores = eval_step(params_hrnet, *args)
         if return_images and first_srs is None:
             first_srs = srs  # device ref; fetched once below
@@ -135,6 +158,14 @@ def train_and_get_best_model(
     Returns {'params': ..., 'batch_stats': ..., 'best_score': float,
     'run_dir': str}.
     """
+    # multi-host: join the distributed runtime BEFORE any device query
+    # (no-op unless HRN_DISTRIBUTED / HRN_COORDINATOR is set; on cloud TPU
+    # pods HRN_DISTRIBUTED=auto uses cluster auto-detection)
+    maybe_initialize()
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    is_primary = proc == 0
+
     t = config["training"]
     paths = config["paths"]
     seed = t.get("seed", 123)
@@ -157,28 +188,40 @@ def train_and_get_best_model(
     if not scene_dirs:
         raise FileNotFoundError(f"no scenes under {data_dir}/train/(RED|NIR)")
     train_list, val_list = train_val_split(scene_dirs, t["val_proportion"], seed=1)
-    # NOTE multi-host: this loop is single-controller. True multi-process
-    # training additionally needs jax.make_array_from_process_local_data
-    # over equal-length per-host shards (data.pipeline.shard_for_hosts) and
-    # host-synchronized step counts; wiring that is out of scope here.
 
+    multihost = is_multihost()
     mesh = None
-    if t.get("data_parallel", True) and jax.device_count() > 1:
+    if multihost:
+        # every process feeds its own shard; the mesh must span ALL
+        # devices and the GLOBAL batch must divide evenly
+        if t["batch_size"] % jax.device_count():
+            raise ValueError(
+                f"multi-host training needs batch_size divisible by the "
+                f"global device count ({t['batch_size']} % {jax.device_count()})"
+            )
+        mesh = make_mesh()  # all global devices, 1-D 'data' axis
+    elif t.get("data_parallel", True) and jax.device_count() > 1:
         n = jax.device_count()
         while t["batch_size"] % n:
             n -= 1
         if n > 1:
             mesh = make_mesh(n_devices=n)
 
+    # per-host equal-length shard of the scene list; each host reads and
+    # feeds only its share of every global batch (single-host: identity)
+    local_train_list = shard_for_hosts(train_list, proc, n_proc)
+    local_batch_size = t["batch_size"] // n_proc
+
     loader = BatchLoader(
-        train_list,
-        batch_size=t["batch_size"],
+        local_train_list,
+        batch_size=local_batch_size,
         min_l=t["min_L"],
         top_k=t["n_views"],
         beta=t["beta"],
         create_patches=t.get("create_patches", True),
         patch_size=t["patch_size"],
-        seed=seed,
+        shuffle=t.get("shuffle", True),
+        seed=seed + 7919 * proc,  # decorrelate per-host view/patch sampling
         num_workers=t.get("n_workers", 4),
         drop_last=mesh is not None,
     )
@@ -188,6 +231,11 @@ def train_and_get_best_model(
     hrnet = HRNet(config=config["network"], dtype=dtype)
     shiftnet = ShiftNet(dtype=dtype)
     state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
+    if multihost:
+        # identical seeded init on every process -> replicate onto the
+        # global mesh (grads then all-reduce over ICI within a host and
+        # DCN across hosts, inserted by jit)
+        state = replicate_to_mesh(mesh, state)
 
     train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh)
     # the eval step rides the same mesh when the eval batch divides it
@@ -197,16 +245,18 @@ def train_and_get_best_model(
     eval_mesh = None
     if mesh is not None and eval_batch > 1 and eval_batch % mesh.devices.size == 0:
         eval_mesh = mesh
-    eval_step = build_eval_step(hrnet, config, mesh=eval_mesh)
+    eval_step = build_eval_step(hrnet, config, mesh=eval_mesh, replicate_out=multihost)
 
     if run_dir is None:
         run_dir = os.path.join(paths["checkpoint_dir"], _run_dir_name(t))
+        if multihost:  # per-host clocks would mint different names
+            run_dir = broadcast_string(run_dir)
     ckpt = CheckpointManager(run_dir)
     scheduler = ReduceLROnPlateau(t["lr"], factor=t["lr_decay"], patience=t["lr_step"])
 
     writer = None
     tb_dir = paths.get("tb_log_file_dir")
-    if tb_dir:
+    if tb_dir and is_primary:
         try:
             from tensorboardX import SummaryWriter
 
@@ -215,7 +265,11 @@ def train_and_get_best_model(
             pass
 
     # --- resume ---------------------------------------------------------------
+    # multi-host: every process restores from the same (shared-storage)
+    # run_dir so train states stay identical; process 0 alone writes
     restored, host_state = ckpt.restore_state(state)
+    if multihost and restored is not None:
+        restored = replicate_to_mesh(mesh, restored)
     start_epoch = 1
     best_score = float("inf")
     if restored is not None:
@@ -240,7 +294,10 @@ def train_and_get_best_model(
         t0 = time.time()
         for batch in loader:
             args = (batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
-            if mesh is not None:
+            if multihost:
+                # each host contributes its local shard of the global batch
+                args = make_global_batch(mesh, args, _BATCH_SPECS)
+            elif mesh is not None:
                 args = shard_batch(mesh, args)
             state, metrics = train_step(state, *args)
             contrib = jnp.stack(
@@ -291,6 +348,8 @@ def train_and_get_best_model(
             best = jax.device_get(
                 {"params": state.params, "batch_stats": state.batch_stats}
             )
+            # collective in multi-host runs: EVERY process participates
+            # (Orbax coordinates; the primary host does the writing)
             ckpt.save_best(best["params"], best["batch_stats"], best_score)
 
         new_lr = scheduler.step(val_score)
@@ -322,12 +381,13 @@ def train_and_get_best_model(
                 writer.add_image(
                     "Error Map", np.asarray(hr0, np.float32) - sr0, epoch, dataformats="HW"
                 )
-        print(
-            f"epoch {epoch}/{num_epochs} loss={train_loss:.4f} "
-            f"val={val_score:.4f} best={best_score:.4f} lr={new_lr:.2e} "
-            f"({time.time() - t0:.1f}s)",
-            flush=True,
-        )
+        if is_primary:
+            print(
+                f"epoch {epoch}/{num_epochs} loss={train_loss:.4f} "
+                f"val={val_score:.4f} best={best_score:.4f} lr={new_lr:.2e} "
+                f"({time.time() - t0:.1f}s)",
+                flush=True,
+            )
         if max_steps is not None and steps_done >= max_steps:
             break
 

@@ -155,12 +155,21 @@ def build_train_step(
     )
 
 
-def build_eval_step(hrnet: HRNet, config: Dict[str, Any], mesh: Optional[Mesh] = None):
+def build_eval_step(
+    hrnet: HRNet,
+    config: Dict[str, Any],
+    mesh: Optional[Mesh] = None,
+    replicate_out: bool = False,
+):
     """Returns jitted fn(params, lrs, alphas, hrs, hr_maps) -> (srs, scores).
 
     Runs the SR forward and the full 7x7 shift-search cPSNR on device —
     the reference does the 49-placement search per scene in host NumPy
     (src/train.py:199-217); here it is one fused program per batch.
+
+    replicate_out=True all-gathers the outputs so every process of a
+    multi-host mesh can read the full score vector locally (scores are a
+    few floats; srs rides along for the per-epoch TB image).
     """
 
     def step(params, lrs, alphas, hrs, hr_maps):
@@ -170,6 +179,10 @@ def build_eval_step(hrnet: HRNet, config: Dict[str, Any], mesh: Optional[Mesh] =
 
     if mesh is None:
         return jax.jit(step)
+    out_shardings = None
+    if replicate_out:
+        rep = NamedSharding(mesh, P())
+        out_shardings = (rep, rep)
     return jax.jit(
         step,
         in_shardings=(
@@ -179,6 +192,7 @@ def build_eval_step(hrnet: HRNet, config: Dict[str, Any], mesh: Optional[Mesh] =
             NamedSharding(mesh, P("data", None, None)),
             NamedSharding(mesh, P("data", None, None)),
         ),
+        out_shardings=out_shardings,
     )
 
 

@@ -58,6 +58,52 @@ def hrnet_forward_flops(config: Dict[str, Any], batch: int, views: int, size: in
     return total
 
 
+def shiftnet_forward_flops(batch: int, size: int = 128) -> float:
+    """ShiftNet conv stack + fc FLOPs per forward (one pair per scene).
+
+    Architecture per the reference (src/DeepNetworks/ShiftNet.py:6-90):
+    8 conv3x3 layers widths [64,64,64,64,128,128,128,128], 2x maxpool
+    after layers 2/4/6, fc 32768->1024->2.
+    """
+    widths = [64, 64, 64, 64, 128, 128, 128, 128]
+    pools = [False, True, False, True, False, True, False, False]
+    cin, s = 2, size
+    total = 0.0
+    for ch, pool in zip(widths, pools):
+        total += conv_flops(s, s, cin, ch)
+        cin = ch
+        if pool:
+            s //= 2
+    total += 2.0 * (cin * s * s) * 1024 + 2.0 * 1024 * 2  # fc1 + fc2
+    return batch * total
+
+
+def lanczos_warp_flops(batch: int, size: int, n: int = 7) -> float:
+    """Separable n-tap warp: two 1-D FMA passes over (size, size)."""
+    return batch * 2.0 * (2.0 * n * size * size)
+
+
+def train_step_flops(
+    config: Dict[str, Any],
+    batch: int,
+    views: int,
+    patch: int,
+    register_size: int = 128,
+) -> float:
+    """Full registered train step (BASELINE.json config #3).
+
+    forward + backward ~ 3x forward for the conv stacks (grads w.r.t.
+    inputs and weights each cost ~1 forward); the optimizer update and
+    loss reductions are O(params + pixels) — negligible next to TFLOPs.
+    """
+    fwd = (
+        hrnet_forward_flops(config, batch, views, patch)
+        + shiftnet_forward_flops(batch, register_size)
+        + lanczos_warp_flops(batch, 3 * patch)
+    )
+    return 3.0 * fwd
+
+
 def utilization(flops: float, seconds: float, dtype: str = "float32") -> Dict[str, float]:
     tflops = flops / seconds / 1e12
     peak = V5E_PEAK_TFLOPS.get(dtype, V5E_PEAK_TFLOPS["float32"])

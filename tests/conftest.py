@@ -28,6 +28,10 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-minute tests (subprocess compiles)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -184,3 +184,63 @@ def test_graft_entry_forward_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (2, 192, 192)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_make_global_batch_matches_shard_batch():
+    """Single-process equivalence of the two feeding paths: device_put with
+    NamedSharding vs make_array_from_process_local_data (multi-host path)."""
+    from jax.sharding import PartitionSpec as P
+
+    from highresnet_tpu.parallel import make_global_batch, make_mesh, shard_batch
+
+    mesh = make_mesh(n_devices=4)
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.random((8, 4, 8, 8)).astype(np.float32),
+        np.ones((8, 4), np.float32),
+        rng.random((8, 24, 24)).astype(np.float32),
+        np.ones((8, 24, 24), np.float32),
+    )
+    specs = (P("data", None, None, None), P("data", None), P("data", None, None), P("data", None, None))
+    a = shard_batch(mesh, batch)
+    b = make_global_batch(mesh, batch, specs)
+    for x, y in zip(a, b):
+        assert x.sharding == y.sharding
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_global_from_replicated_cuts_local_shards():
+    from jax.sharding import PartitionSpec as P
+
+    from highresnet_tpu.parallel import global_from_replicated, make_mesh
+
+    mesh = make_mesh(n_devices=4)
+    full = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    (g,) = global_from_replicated(mesh, (full,), (P("data", None),))
+    assert g.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(g), full)
+    # each device holds exactly its slice
+    for shard in g.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), full[shard.index])
+
+
+def test_replicate_to_mesh_and_broadcast_string():
+    from highresnet_tpu.parallel import broadcast_string, make_mesh, replicate_to_mesh
+
+    mesh = make_mesh(n_devices=4)
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3), "none": None}
+    out = replicate_to_mesh(mesh, tree)
+    assert out["none"] is None
+    assert len(out["w"].sharding.device_set) == 4
+    np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])
+    # single-process: identity
+    assert broadcast_string("models/run_x") == "models/run_x"
+
+
+def test_maybe_initialize_noop_without_env(monkeypatch):
+    from highresnet_tpu.parallel import maybe_initialize
+
+    monkeypatch.delenv("HRN_DISTRIBUTED", raising=False)
+    monkeypatch.delenv("HRN_COORDINATOR", raising=False)
+    maybe_initialize()  # must not raise or re-init
+    assert jax.process_count() == 1
