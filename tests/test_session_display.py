@@ -186,3 +186,49 @@ def test_imsetshow_renders(tmp_path):
     s = read_imageset(discover_scenes(f"{tmp_path}/train")[0])
     fig = imsetshow(s, show=False)
     assert fig is not None
+
+
+def test_gui_module_structure():
+    """The Qt front-end is import-gated: the module imports without PyQt5,
+    exposes the full method list, and fails with a clear message when Qt
+    is requested but absent."""
+    from highresnet_tpu.registration import app
+    from highresnet_tpu.registration.session import SEARCH_METHODS
+
+    # every grid-parameterized method must be a real search method
+    assert set(app.GRID_METHODS) <= set(SEARCH_METHODS)
+    assert "Point Matching" in SEARCH_METHODS and "Fourier" in SEARCH_METHODS
+
+    try:
+        import PyQt5  # noqa: F401
+
+        have_qt = True
+    except ImportError:
+        have_qt = False
+    if not have_qt:
+        with pytest.raises(RuntimeError, match="PyQt5"):
+            app._require_qt()
+
+
+def test_gui_window_construction_headless():
+    """Full widget construction under the offscreen platform (skipped when
+    PyQt5 is unavailable, as in this image)."""
+    pytest.importorskip("PyQt5")
+    import os
+
+    os.environ.setdefault("QT_QPA_PLATFORM", "offscreen")
+    from PyQt5 import QtWidgets
+
+    from highresnet_tpu.registration.app import build_main_window
+    from highresnet_tpu.registration.session import RegistrationSession
+
+    app_q = QtWidgets.QApplication.instance() or QtWidgets.QApplication([])
+    rng = np.random.default_rng(0)
+    session = RegistrationSession()
+    session.set_arrays(rng.random((32, 32)), rng.random((32, 32)))
+    win = build_main_window(session)
+    assert win.tabs.count() == 3
+    win.on_method_changed("Fourier")  # hides all parameter widgets
+    assert not win.points_per_dim.isVisible()
+    win.refresh()
+    app_q.closeAllWindows()
