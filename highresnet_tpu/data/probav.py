@@ -163,10 +163,12 @@ def read_imageset(
             hr = imread_u16(hr_path).astype(np.uint16)
 
     if create_patches:
+        # patch_size == image size is a no-op crop at offset 0 (the
+        # reference's randint(0, 0) allows it; Generator.integers does not)
         max_x = lr.shape[1] - patch_size
         max_y = lr.shape[2] - patch_size
-        x = int(rng.integers(0, max_x))
-        y = int(rng.integers(0, max_y))
+        x = int(rng.integers(0, max_x)) if max_x > 0 else 0
+        y = int(rng.integers(0, max_y)) if max_y > 0 else 0
         lr = get_patch(lr, x, y, patch_size)
         if hr_map is not None:
             hr_map = get_patch(hr_map, 3 * x, 3 * y, 3 * patch_size)

@@ -38,6 +38,26 @@ def _smooth_field(rng: np.random.Generator, size: int, octaves: int = 4) -> np.n
     return out
 
 
+def _bandlimited_detail(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Zero-mean unit-std random field band-limited to ~4-5 HR-px wavelengths.
+
+    That band is chosen to sit in the MFSR sweet spot: above the LR Nyquist
+    wavelength (6 HR px — so 3x decimation ALIASES it and no single-view
+    interpolation can reproduce it) yet away from the 3x box prefilter's
+    first null at 3 px (so ~40% of its amplitude survives into each LR
+    view, with an alias phase that depends on the view's sub-pixel shift).
+    Several shifted views therefore carry complementary measurements of the
+    same detail — exactly the signal multi-frame SR exists to exploit.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    noise = rng.normal(size=(size, size))
+    band = gaussian_filter(noise, 0.6) - gaussian_filter(noise, 1.4)
+    band -= band.mean()
+    band /= max(band.std(), 1e-9)
+    return band
+
+
 def make_scene(
     scene_dir: str,
     rng: np.random.Generator,
@@ -47,15 +67,23 @@ def make_scene(
     noise: float = 0.01,
     detail: float = 0.0,
 ) -> None:
-    """detail > 0 mixes in pixel-scale structure (speckle) that 3x
+    """detail > 0 mixes in band-limited sub-LR-Nyquist structure that 3x
     decimation aliases away — recoverable from multiple shifted views but
-    not from any single one (makes MFSR-vs-interpolation gaps visible)."""
+    not from any single one (makes MFSR-vs-interpolation gaps visible).
+    detail == 0 keeps the raw multi-octave field (whose finest octave is
+    pixel-scale white noise — deliberately irrecoverable texture)."""
     os.makedirs(scene_dir, exist_ok=True)
     hr_size = 3 * lr_size
     hr = _smooth_field(rng, hr_size)
     if detail > 0:
-        speckle = (rng.random((hr_size, hr_size)) > 0.9).astype(np.float64)
-        hr = np.clip((1 - detail) * hr + detail * speckle, 0, 1)
+        from scipy.ndimage import gaussian_filter
+
+        # smooth away the field's pixel-scale white-noise octave: it is
+        # information-theoretically unrecoverable and would put the same
+        # hard PSNR ceiling on every method, drowning the MFSR signal
+        hr = gaussian_filter(hr, 1.0)
+        band = _bandlimited_detail(rng, hr_size)
+        hr = np.clip((1 - detail) * hr + detail * (0.5 + 0.35 * band), 0, 1)
 
     for v in range(n_views):
         dy, dx = rng.integers(-2, 3, size=2)

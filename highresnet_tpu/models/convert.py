@@ -34,7 +34,12 @@ import numpy as np
 def _to_numpy(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in state.items():
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        # np.array(..., copy) rather than .numpy(): torch state_dict()
+        # returns live buffer REFERENCES, and .numpy() shares their memory —
+        # a later forward on the torch model would silently mutate converted
+        # BN running stats in place
+        a = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        out[k] = np.array(a)
     return out
 
 

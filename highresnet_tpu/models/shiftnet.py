@@ -27,6 +27,57 @@ import jax
 import jax.numpy as jnp
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact TRAINING semantics.
+
+    torch.nn.BatchNorm2d normalizes the batch with the biased variance but
+    updates ``running_var`` with the UNBIASED (n/(n-1)) variance, momentum
+    0.1 torch-style (new = (1-m)*old + m*batch). flax's nn.BatchNorm
+    updates with the biased variance, which drifts eval-time statistics by
+    n/(n-1) per step relative to a torch training run — the one remaining
+    train-dynamics divergence flagged in round 1. Eval-mode math is
+    identical to nn.BatchNorm. Stats are kept/updated in float32 even
+    under bfloat16 compute.
+
+    Variable/param names match nn.BatchNorm (scale/bias, mean/var) so
+    checkpoints and models/convert.py are unaffected.
+    """
+
+    momentum: float = 0.1  # torch convention
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased: normalizes
+            n = x.size // feat
+            unbiased = var * (n / max(n - 1, 1))  # torch's running_var update
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
 class ShiftNet(nn.Module):
     in_channels: int = 1
     dtype: Any = jnp.float32
@@ -39,13 +90,9 @@ class ShiftNet(nn.Module):
 
         def block(h, features, idx, pool):
             h = nn.Conv(features, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{idx}")(h)
-            h = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                name=f"bn{idx}",
-            )(h)
+            h = TorchBatchNorm(dtype=self.dtype, name=f"bn{idx}")(
+                h, use_running_average=not train
+            )
             h = nn.relu(h)
             if pool:
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))

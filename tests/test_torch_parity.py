@@ -277,3 +277,77 @@ def test_vgg_extractor_parity(tmp_path):
         for name in want:
             g = np.moveaxis(np.asarray(got[name]), -1, 1)  # NHWC -> NCHW
             np.testing.assert_allclose(g, want[name], rtol=1e-4, atol=1e-4)
+
+
+def test_shiftnet_bn_training_dynamics_parity(ref_modules):
+    """Train-mode BatchNorm statistics track the reference torch model
+    EXACTLY over a sequence of training forwards (weak point 8 of the
+    round-1 review).
+
+    In the reference protocol ShiftNet registers SR vs HR — one pair per
+    scene — so the BN batch is the same B pairs in one call on both sides
+    (src/train.py:177-180); dropout sits after all BN layers so it cannot
+    perturb the statistics. TorchBatchNorm replicates torch's
+    normalize-with-biased / update-with-unbiased semantics, so running
+    stats must match to float tolerance after several steps.
+    """
+    _, ref_shiftnet_mod, _ = ref_modules
+    torch.manual_seed(3)
+    ref_model = ref_shiftnet_mod.ShiftNet().train()
+
+    from highresnet_tpu.models.convert import shiftnet_from_torch
+    from highresnet_tpu.models.shiftnet import ShiftNet
+
+    params, stats = shiftnet_from_torch(ref_model.state_dict())
+
+    import jax
+    import jax.numpy as jnp
+
+    model = ShiftNet()
+    rng = np.random.default_rng(3)
+    variables = {"params": params, "batch_stats": stats}
+    for step in range(3):
+        x = rng.random((2, 128, 128, 2)).astype(np.float32)
+        with torch.no_grad():
+            ref_model(torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        _, mutated = model.apply(
+            variables,
+            jnp.asarray(x),
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(step)},
+            mutable=["batch_stats"],
+        )
+        variables = {"params": params, "batch_stats": mutated["batch_stats"]}
+
+    ref_state = ref_model.state_dict()
+    for i in range(1, 9):
+        got = variables["batch_stats"][f"bn{i}"]
+        np.testing.assert_allclose(
+            np.asarray(got["mean"]),
+            ref_state[f"layer{i}.1.running_mean"].numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"bn{i} running_mean",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["var"]),
+            ref_state[f"layer{i}.1.running_var"].numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"bn{i} running_var",
+        )
+
+    # eval-mode forward with the post-training stats still matches
+    ref_model.eval()
+    with torch.no_grad():
+        ref_model.fc2.weight.normal_(0, 0.01)
+    params2, _ = shiftnet_from_torch(ref_model.state_dict())
+    x = rng.random((2, 128, 128, 2)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(
+            torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+        ).numpy()
+    got = np.asarray(
+        model.apply(
+            {"params": params2, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
