@@ -39,20 +39,27 @@ def _smooth_field(rng: np.random.Generator, size: int, octaves: int = 4) -> np.n
 
 
 def _bandlimited_detail(rng: np.random.Generator, size: int) -> np.ndarray:
-    """Zero-mean unit-std random field band-limited to ~4-5 HR-px wavelengths.
+    """Zero-mean unit-std random field band-limited to ~4-10 HR-px wavelengths.
 
-    That band is chosen to sit in the MFSR sweet spot: above the LR Nyquist
-    wavelength (6 HR px — so 3x decimation ALIASES it and no single-view
-    interpolation can reproduce it) yet away from the 3x box prefilter's
-    first null at 3 px (so ~40% of its amplitude survives into each LR
-    view, with an alias phase that depends on the view's sub-pixel shift).
-    Several shifted views therefore carry complementary measurements of the
-    same detail — exactly the signal multi-frame SR exists to exploit.
+    The band covers the two regimes where multi-frame SR has an edge over
+    single-view interpolation:
+
+    - 3-6 px wavelengths sit above the LR Nyquist (6 HR px): 3x decimation
+      ALIASES them, with an alias phase set by each view's sub-pixel shift,
+      so several shifted views carry complementary measurements no single
+      view contains;
+    - 6-12 px wavelengths survive decimation but arrive attenuated by the
+      3x box prefilter: a trained model can deconvolve that attenuation
+      (and average sensor noise across views) while plain bicubic cannot.
+
+    Wavelengths at the box prefilter's first null (~3 px) are avoided:
+    nothing survives into any view there, so they are unrecoverable and
+    would only add an equal PSNR penalty to every method.
     """
     from scipy.ndimage import gaussian_filter
 
     noise = rng.normal(size=(size, size))
-    band = gaussian_filter(noise, 0.6) - gaussian_filter(noise, 1.4)
+    band = gaussian_filter(noise, 0.7) - gaussian_filter(noise, 2.5)
     band -= band.mean()
     band /= max(band.std(), 1e-9)
     return band

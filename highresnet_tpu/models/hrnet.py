@@ -122,25 +122,59 @@ class FusionNet(nn.Module):
         )
         alphas = alphas[..., None, None, None]  # (B, L, 1, 1, 1)
 
+        # pair packing (alice ++ flipped-bob channel concat) goes through a
+        # Pallas kernel on TPU: the XLA channel-concat runs at ~1/4 copy
+        # bandwidth across the 128-lane boundary (ops/fusion_pallas.py)
+        from highresnet_tpu.ops.fusion_pallas import pack_pairs
+
         nviews = l
         while nviews // 2 > 0:
             half = nviews // 2
-            alice = x[:, :half]
-            bob = jnp.flip(x[:, half : 2 * half], axis=1)
-
-            pair = jnp.concatenate([alice, bob], axis=-1)  # (B, half, H, W, 2C)
+            pair = pack_pairs(x)  # (B, half, H, W, 2C)
             fused = fuse(pair.reshape(b * half, h, w, 2 * c))
             fused = fused.reshape(b, half, h, w, c)
 
             if self.alpha_residual:
                 a_bob = jnp.flip(alphas[:, half : 2 * half], axis=1)
-                x = alice + a_bob * fused
+                x = x[:, :half] + a_bob * fused
                 alphas = alphas[:, :half]
             else:
                 x = fused
             nviews = half
 
         return jnp.mean(x, axis=1)  # (B, H, W, C)
+
+
+class PointwiseConv(nn.Module):
+    """1x1 convolution expressed as an einsum channel contraction.
+
+    XLA lowers a convolution op with very few output features (the
+    decoder's final C->1 projection) poorly on TPU — measured ~6x slower
+    than the identical contraction written as a matmul (FUSION_LAB.json:
+    0.37 ms vs 2.3 ms for the decoder stage at the benchmark shape).
+    Param names/shapes match nn.Conv(features, (1, 1)) exactly, so
+    checkpoints and the torch converter are unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = jnp.einsum(
+            "...c,co->...o",
+            x,
+            kernel[0, 0].astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+        return y + bias.astype(x.dtype)
 
 
 class Decoder(nn.Module):
@@ -150,7 +184,8 @@ class Decoder(nn.Module):
     kernel==stride, so each input pixel independently produces a 3x3 output
     block: out[3i+di, 3j+dj, co] = sum_ci x[i,j,ci] * W[di,dj,ci,co] + b.
     That is one einsum (MXU matmul over C) followed by depth-to-space —
-    no overlap, no scatter. Then PReLU and a final 1x1 conv C->1.
+    no overlap, no scatter. Then PReLU and a final 1x1 conv C->1
+    (einsum-lowered; see PointwiseConv).
     """
 
     channels: int = 64
@@ -181,8 +216,13 @@ class Decoder(nn.Module):
         # depth-to-space: (B,H,s,W,s,Co) -> (B,sH,sW,Co)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, s * h, s * w, self.channels)
         y = PReLU(name="deconv_prelu")(y)
-        fk = (self.final_kernel, self.final_kernel)
-        y = nn.Conv(self.out_channels, fk, padding="SAME", dtype=self.dtype, name="final_conv")(y)
+        if self.final_kernel == 1:
+            y = PointwiseConv(self.out_channels, dtype=self.dtype, name="final_conv")(y)
+        else:
+            fk = (self.final_kernel, self.final_kernel)
+            y = nn.Conv(
+                self.out_channels, fk, padding="SAME", dtype=self.dtype, name="final_conv"
+            )(y)
         return y
 
 

@@ -40,3 +40,28 @@ def test_fused_dispatch_falls_back_on_cpu():
     shifts = jnp.zeros((2, 2), jnp.float32)
     out = lanczos_shift_fused(img, shifts)
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+
+
+def test_pack_pairs_pallas_matches_xla():
+    """Exact equality: packing is pure data movement."""
+    from highresnet_tpu.ops.fusion_pallas import pack_pairs_pallas, pack_pairs_xla
+
+    rng = np.random.default_rng(3)
+    for l in (2, 4, 5, 8):  # even, power-of-two, odd (view-drop)
+        x = jnp.asarray(rng.random((2, l, 8, 16, 4)), jnp.float32)
+        want = pack_pairs_xla(x)
+        got = pack_pairs_pallas(x, interpret=True)
+        assert got.shape == (2, l // 2, 8, 16, 8)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_pack_pairs_gradient_matches():
+    from highresnet_tpu.ops.fusion_pallas import pack_pairs_pallas, pack_pairs_xla
+
+    rng = np.random.default_rng(4)
+    for l in (4, 5):  # odd case: dropped view must get zero gradient
+        x = jnp.asarray(rng.random((1, l, 4, 8, 4)), jnp.float32)
+        w = jnp.asarray(rng.random((1, l // 2, 4, 8, 8)), jnp.float32)
+        g_xla = jax.grad(lambda z: jnp.sum(w * pack_pairs_xla(z)))(x)
+        g_pls = jax.grad(lambda z: jnp.sum(w * pack_pairs_pallas(z, interpret=True)))(x)
+        np.testing.assert_array_equal(np.asarray(g_xla), np.asarray(g_pls))
