@@ -198,8 +198,11 @@ def main(smoke: bool = False):
     details["configs"].append(headline)
     # published-config point (32 views @128, V100 baseline 5 scenes/sec)
     details["configs"].append(bench_config(batch=4, views=32, size=128))
-    # bfloat16 variant of the headline
+    # bfloat16 variant of the headline + the throughput-optimal batch
     details["configs"].append(bench_config(batch=8, views=16, size=128, dtype=jnp.bfloat16))
+    details["configs"].append(
+        bench_config(batch=32, views=16, size=128, dtype=jnp.bfloat16, k1=3, k2=13)
+    )
     # single-scene latency (reference: < 0.2 s/scene for 32 views @128, V100)
     details["configs"].append(bench_config(batch=1, views=32, size=128))
     # full training step (reference: 400 epochs < 9 h on V100), f32 AND bf16

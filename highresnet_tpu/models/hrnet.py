@@ -107,6 +107,11 @@ class FusionNet(nn.Module):
     kernel_size: int = 3
     alpha_residual: bool = True
     dtype: Any = jnp.float32
+    # None = auto (Pallas on TPU, XLA elsewhere). Set False when the view
+    # axis is sharded over a mesh: a Pallas call cannot be partitioned
+    # across the axis it gathers over, so view-sharded configurations must
+    # use the XLA concat path (config key: recursive.use_pallas_pack).
+    use_pallas_pack: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, alphas: jax.Array) -> jax.Array:
@@ -125,7 +130,17 @@ class FusionNet(nn.Module):
         # pair packing (alice ++ flipped-bob channel concat) goes through a
         # Pallas kernel on TPU: the XLA channel-concat runs at ~1/4 copy
         # bandwidth across the 128-lane boundary (ops/fusion_pallas.py)
-        from highresnet_tpu.ops.fusion_pallas import pack_pairs
+        from highresnet_tpu.ops.fusion_pallas import (
+            pack_pairs_pallas,
+            pack_pairs_xla,
+        )
+
+        if self.use_pallas_pack is None:
+            from highresnet_tpu.ops.fusion_pallas import pack_pairs
+        elif self.use_pallas_pack:
+            pack_pairs = pack_pairs_pallas
+        else:
+            pack_pairs = pack_pairs_xla
 
         nviews = l
         while nviews // 2 > 0:
@@ -256,6 +271,7 @@ class HRNet(nn.Module):
             kernel_size=rec.get("kernel_size", 3),
             alpha_residual=rec.get("alpha_residual", True),
             dtype=self.dtype,
+            use_pallas_pack=rec.get("use_pallas_pack"),
         )
         dd = dec.get("deconv", {})
         df = dec.get("final", {})

@@ -93,19 +93,56 @@ def _pack_custom(x: jax.Array, l: int, interpret: bool) -> jax.Array:
     return _pallas_forward(x, interpret)
 
 
+def _unpack_kernel(g_ref, ga_ref, gb_ref, *, c: int):
+    ga_ref[0, 0] = g_ref[0, 0, :, :, :c]
+    gb_ref[0, 0] = g_ref[0, 0, :, :, c:]
+
+
+def _pallas_unpack(g: jax.Array, interpret: bool):
+    """Split the pair cotangent into (alice, bob-still-flipped) halves.
+
+    The channel split reads the same lane-interleaved layout the forward
+    wrote, so it benefits from the same VMEM staging; the remaining view
+    unflip + view-axis concat in the caller are major-axis moves at full
+    copy bandwidth.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, half, h, w, c2 = g.shape
+    c = c2 // 2
+    hb = _block_h(h)
+    out = jax.ShapeDtypeStruct((b, half, h, w, c), g.dtype)
+    return pl.pallas_call(
+        partial(_unpack_kernel, c=c),
+        out_shape=(out, out),
+        grid=(b, half, h // hb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, hb, w, c2), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, hb, w, c), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hb, w, c), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(g)
+
+
 def _fwd(x, l, interpret):
     return _pallas_forward(x, interpret), None
 
 
 def _bwd(l, interpret, _, g):
-    # inverse permutation: channel split + view unflip (+ zero for the
-    # dropped odd view); all statics derive from l and the cotangent shape
+    # inverse permutation: channel split (Pallas, same lane-interleave
+    # staging as the forward) + view unflip + zero for the dropped odd
+    # view; the view-axis concat is a major-axis move at copy bandwidth
     half = l // 2
-    c = g.shape[-1] // 2
-    g_alice = g[..., :c]
-    g_bob = jnp.flip(g[..., c:], axis=1)
-    parts = [g_alice, g_bob]
+    g_alice, g_bob_flipped = _pallas_unpack(g, interpret)
+    parts = [g_alice, jnp.flip(g_bob_flipped, axis=1)]
     if l > 2 * half:
+        c = g.shape[-1] // 2
         parts.append(jnp.zeros(g.shape[:1] + (l - 2 * half,) + g.shape[2:-1] + (c,), g.dtype))
     return (jnp.concatenate(parts, axis=1),)
 

@@ -152,3 +152,32 @@ def test_hrnet_invariant_to_padded_views_end_to_end():
     out4 = model.apply(variables, jnp.asarray(lrs4), a4)
     assert out4.shape == (1, 36, 36)
     assert np.isfinite(np.asarray(out4)).all()
+
+
+def test_pack_impl_knob_identical():
+    """recursive.use_pallas_pack switches the pack lowering, never values."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from highresnet_tpu.models.hrnet import HRNet
+
+    rng = np.random.default_rng(5)
+    lrs = jnp.asarray(rng.random((1, 4, 12, 12)), jnp.float32)
+    alphas = jnp.ones((1, 4), jnp.float32)
+    cfg = {
+        "encoder": {"in_channels": 2, "num_layers": 1, "kernel_size": 3, "channel_size": 8},
+        "recursive": {"alpha_residual": True, "in_channels": 8, "kernel_size": 3},
+        "decoder": {
+            "deconv": {"in_channels": 8, "kernel_size": 3, "stride": 3, "out_channels": 8},
+            "final": {"in_channels": 8, "kernel_size": 1, "out_channels": 1},
+        },
+    }
+    auto = HRNet(config=cfg)
+    params = auto.init(jax.random.PRNGKey(0), lrs, alphas)["params"]
+    want = auto.apply({"params": params}, lrs, alphas)
+    cfg_xla = copy.deepcopy(cfg)
+    cfg_xla["recursive"]["use_pallas_pack"] = False
+    got = HRNet(config=cfg_xla).apply({"params": params}, lrs, alphas)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
