@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--patch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=7e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--val-proportion", type=float, default=0.25)
     ap.add_argument("--regen", action="store_true", help="rebuild the dataset")
     ap.add_argument("--out", default="QUALITY_REPORT.json")
     args = ap.parse_args()
@@ -77,6 +78,11 @@ def main():
             detail=args.detail,
         )
         print(f"dataset: {2 * args.scenes_per_channel} scenes at {args.root}", flush=True)
+        # decode-free scene cache: the 1-core host would otherwise re-decode
+        # every PNG on every epoch and starve the chip
+        from highresnet_tpu.cli.pack_dataset import main as pack_main
+
+        pack_main(["--prefix", args.root])
 
     # --- train ----------------------------------------------------------
     config = load_config(
@@ -93,7 +99,7 @@ def main():
                 "min_L": args.views,
                 "patch_size": args.patch,
                 "register_size": 2 * args.patch,  # < default 128: small scenes
-                "val_proportion": 0.25,
+                "val_proportion": args.val_proportion,
                 "eval_batch_size": 4,
                 "checkpoint_every": 0,
                 "lr": args.lr,
@@ -112,7 +118,7 @@ def main():
     fwd = jax.jit(lambda p, lrs, al: hrnet.apply({"params": p}, lrs, al))
 
     scenes = discover_scenes(os.path.join(args.root, "train"))
-    _, val = train_val_split(scenes, 0.25, seed=1)
+    _, val = train_val_split(scenes, args.val_proportion, seed=1)
 
     def bicubic_x3(img):
         h, w = img.shape
