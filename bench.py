@@ -36,6 +36,7 @@ def main(smoke: bool = False):
 
     from highresnet_tpu.config import DEFAULT_CONFIG
     from highresnet_tpu.models.hrnet import HRNet
+    from highresnet_tpu.utils.profiling import enqueue_timed
 
     def bench_config(batch, views, size, dtype=jnp.float32, k1=5, k2=25):
         hrnet = HRNet(config=DEFAULT_CONFIG["network"], dtype=dtype)
@@ -52,18 +53,8 @@ def main(smoke: bool = False):
         t0 = time.perf_counter()
         float(fwd_sum(params, lrs, alphas))
         compile_time = time.perf_counter() - t0
-        float(fwd_sum(params, lrs, alphas))  # second warmup
 
-        def run_k(k):
-            t0 = time.perf_counter()
-            y = None
-            for _ in range(k):
-                y = fwd_sum(params, lrs, alphas)
-            float(y)  # single tiny readback drains the queue
-            return time.perf_counter() - t0
-
-        t1, t2 = run_k(k1), run_k(k2)
-        step = (t2 - t1) / (k2 - k1)
+        step = enqueue_timed(lambda: fwd_sum(params, lrs, alphas), k1, k2)
         dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
         out = {
             "batch": batch,
@@ -109,17 +100,14 @@ def main(smoke: bool = False):
         compile_time = time.perf_counter() - t0
         float(m["loss"])
 
-        def run_k(k):
+        def one_step():
             nonlocal state
-            t0 = time.perf_counter()
-            m = None
-            for _ in range(k):
-                state, m = step(state, *args)
-            float(m["loss"])
-            return time.perf_counter() - t0
+            state, m = step(state, *args)
+            return m["loss"]
 
-        t1, t2 = run_k(k1), run_k(k2)
-        dt = (t2 - t1) / (k2 - k1)
+        from highresnet_tpu.utils.profiling import enqueue_timed
+
+        dt = enqueue_timed(one_step, k1, k2)
         dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
         out = {
             "kind": "train_step",
@@ -158,16 +146,9 @@ def main(smoke: bool = False):
         float(run_once()[0])
         compile_time = time.perf_counter() - t0
 
-        def run_k(k):
-            t0 = time.perf_counter()
-            s = None
-            for _ in range(k):
-                s = run_once()
-            float(s[0])
-            return time.perf_counter() - t0
+        from highresnet_tpu.utils.profiling import enqueue_timed
 
-        t1, t2 = run_k(k1), run_k(k2)
-        dt = (t2 - t1) / (k2 - k1)
+        dt = enqueue_timed(run_once, k1, k2)
         return {
             "kind": "eval_step",
             "batch": batch,

@@ -29,22 +29,10 @@ from highresnet_tpu.models.hrnet import HRNet, lower_median  # noqa: E402
 
 
 def timed(fn, args, k1=10, k2=60):
-    """Two-point enqueue timing (see bench.py): fixed overhead cancels."""
-    out = fn(*args)
-    float(jnp.sum(out if isinstance(out, jax.Array) else out[0]))  # compile+warm
-    out = fn(*args)
-    float(jnp.sum(out if isinstance(out, jax.Array) else out[0]))
+    """Two-point enqueue timing (single home: utils.profiling.enqueue_timed)."""
+    from highresnet_tpu.utils.profiling import enqueue_timed
 
-    def run_k(k):
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(k):
-            y = fn(*args)
-        float(jnp.sum(y if isinstance(y, jax.Array) else y[0]))
-        return time.perf_counter() - t0
-
-    t1, t2 = run_k(k1), run_k(k2)
-    return (t2 - t1) / (k2 - k1)
+    return enqueue_timed(lambda: fn(*args), k1, k2)
 
 
 def conv_stack_bench(batch, size, cin, cout, depth, dtype):

@@ -164,9 +164,16 @@ def read_imageset(
 
     if create_patches:
         # patch_size == image size is a no-op crop at offset 0 (the
-        # reference's randint(0, 0) allows it; Generator.integers does not)
+        # reference's randint(0, 0) allows it; Generator.integers does not);
+        # a LARGER patch_size is a misconfiguration that must fail here, not
+        # as an opaque shape error deep inside the compiled train step
         max_x = lr.shape[1] - patch_size
         max_y = lr.shape[2] - patch_size
+        if max_x < 0 or max_y < 0:
+            raise ValueError(
+                f"patch_size={patch_size} exceeds the LR image size "
+                f"{lr.shape[1]}x{lr.shape[2]} of scene {basename(scene_dir)!r}"
+            )
         x = int(rng.integers(0, max_x)) if max_x > 0 else 0
         y = int(rng.integers(0, max_y)) if max_y > 0 else 0
         lr = get_patch(lr, x, y, patch_size)

@@ -84,7 +84,13 @@ def _pallas_forward(x: jax.Array, interpret: bool) -> jax.Array:
 
 
 def pack_pairs_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
-    """Pallas version of pack_pairs_xla (TPU; interpret=True elsewhere)."""
+    """Pallas version of pack_pairs_xla.
+
+    Off-TPU the kernel has no compiled lowering, so interpreter mode is
+    forced — an explicit ``use_pallas_pack: true`` config then still runs
+    (slowly) instead of crashing the documented CPU dev/test flow.
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
     return _pack_custom(x, x.shape[1], interpret)
 
 

@@ -275,6 +275,12 @@ def build_main_window(session: RegistrationSession):  # pragma: no cover - GUI g
                 highlight_last=True, show=False,
             )
             self.plots_holder.setWidget(FigureCanvasQTAgg(fig))
+            # plot_metrics_vs_shifts creates via pyplot, which registers the
+            # figure globally; without closing, every refresh (each arrow-key
+            # nudge) leaks a figure+canvas until matplotlib warns at 20
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
 
     return MainWindow()
 

@@ -228,7 +228,16 @@ def train_and_get_best_model(
 
     # --- models / state -------------------------------------------------------
     dtype = jnp.bfloat16 if t.get("compute_dtype") == "bfloat16" else jnp.float32
-    hrnet = HRNet(config=config["network"], dtype=dtype)
+    net_config = config["network"]
+    if mesh is not None and net_config.get("recursive", {}).get("use_pallas_pack") is None:
+        # a Pallas call cannot be auto-partitioned by the SPMD compiler, so
+        # mesh-sharded training pins the XLA pair-pack path unless the
+        # config explicitly opts in (single-chip runs keep the kernel)
+        import copy as _copy
+
+        net_config = _copy.deepcopy(net_config)
+        net_config.setdefault("recursive", {})["use_pallas_pack"] = False
+    hrnet = HRNet(config=net_config, dtype=dtype)
     shiftnet = ShiftNet(dtype=dtype)
     state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
     if multihost:
@@ -243,7 +252,14 @@ def train_and_get_best_model(
     # stays single-device like the reference val loop (src/train.py:284)
     eval_batch = t.get("eval_batch_size", 1)
     eval_mesh = None
-    if mesh is not None and eval_batch > 1 and eval_batch % mesh.devices.size == 0:
+    if mesh is not None and eval_batch > 1:
+        # round the eval batch UP to a device multiple so the sharded eval
+        # step always engages on a mesh (evaluate_model pads short batches
+        # to the static compiled shape, so any val-set size works); the old
+        # divisibility requirement silently fell back to one-device eval on
+        # any pod with more devices than eval_batch_size
+        n_dev = mesh.devices.size
+        eval_batch = ((eval_batch + n_dev - 1) // n_dev) * n_dev
         eval_mesh = mesh
     eval_step = build_eval_step(hrnet, config, mesh=eval_mesh, replicate_out=multihost)
 

@@ -55,3 +55,31 @@ def timed(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kwargs):
 def enable_nan_debugging(enable: bool = True) -> None:
     """NaN tripwire for every jitted computation (costly; debug only)."""
     jax.config.update("jax_debug_nans", enable)
+
+
+def enqueue_timed(step: Callable[[], object], k1: int, k2: int, warmups: int = 2) -> float:
+    """Two-point enqueue timing: seconds per step, relay-safe.
+
+    On device transports where block_until_ready is advisory and a scalar
+    readback costs ~1 s RTT, naive timing is wrong in both directions.
+    Protocol: enqueue k1 steps and read one scalar, enqueue k2 steps and
+    read one scalar; the slope (t2 - t1) / (k2 - k1) cancels the fixed
+    dispatch/readback overhead. ``step`` executes ONE enqueue and returns
+    something sync-able (it may carry state through a closure); this is
+    the single home of the protocol used by bench.py and the examples.
+    """
+    out = None
+    for _ in range(warmups):
+        out = step()
+    sync(out)
+
+    def run_k(k: int) -> float:
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = step()
+        sync(o)
+        return time.perf_counter() - t0
+
+    t1, t2 = run_k(k1), run_k(k2)
+    return (t2 - t1) / (k2 - k1)

@@ -356,3 +356,24 @@ def test_eval_step_scores(train_root, tmp_path):
     assert srs.shape == (2, 72, 72)
     assert scores.shape == (2,)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_mesh_training_rounds_eval_batch_and_pins_xla_pack(train_root, tmp_path):
+    """With a data mesh: (1) an eval_batch_size that does not divide the
+    device count engages the sharded eval step by rounding UP to a device
+    multiple instead of silently falling back to one-device eval; (2) the
+    fusion pack defaults to the XLA path (a Pallas call cannot be
+    auto-partitioned by the SPMD compiler)."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["batch_size"] = jax.device_count()
+    cfg["training"]["eval_batch_size"] = jax.device_count() - 1  # not divisible
+    cfg["training"]["data_parallel"] = True
+    out = train_and_get_best_model(cfg, run_dir=str(tmp_path / "run_mesh"))
+    assert np.isfinite(out["best_score"])
