@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--views", type=int, default=12)
     ap.add_argument("--lr-size", type=int, default=48)
     ap.add_argument("--detail", type=float, default=0.5)
+    ap.add_argument("--hr-shift", type=float, default=0.0)
     ap.add_argument("--epochs", type=int, default=250)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--patch", type=int, default=32)
@@ -76,6 +77,7 @@ def main():
             splits=("train",),
             write_norm_csv=False,  # select best model on raw -shift_cPSNR
             detail=args.detail,
+            hr_shift=args.hr_shift,
         )
         print(f"dataset: {2 * args.scenes_per_channel} scenes at {args.root}", flush=True)
         # decode-free scene cache: the 1-core host would otherwise re-decode
@@ -151,6 +153,7 @@ def main():
             "views": args.views,
             "lr_size": args.lr_size,
             "detail": args.detail,
+            "hr_shift": args.hr_shift,
             "epochs": args.epochs,
             "train_seconds": round(train_s, 1),
             "device": str(jax.devices()[0]),

@@ -73,12 +73,20 @@ def make_scene(
     with_hr: bool = True,
     noise: float = 0.01,
     detail: float = 0.0,
+    hr_shift: float = 0.0,
 ) -> None:
     """detail > 0 mixes in band-limited sub-LR-Nyquist structure that 3x
     decimation aliases away — recoverable from multiple shifted views but
     not from any single one (makes MFSR-vs-interpolation gaps visible).
     detail == 0 keeps the raw multi-octave field (whose finest octave is
-    pixel-scale white noise — deliberately irrecoverable texture)."""
+    pixel-scale white noise — deliberately irrecoverable texture).
+
+    hr_shift > 0 writes the HR ground truth at a random sub-pixel offset
+    (uniform in ±hr_shift HR px) relative to the LR views' frame. Real
+    Proba-V HR is collected separately from the LR series and is NOT
+    co-registered with it — the very reason the reference trains with a
+    registered loss and scores with shift_cPSNR. hr_shift == 0 keeps the
+    frames aligned (where loss-time registration is provably a no-op)."""
     os.makedirs(scene_dir, exist_ok=True)
     hr_size = 3 * lr_size
     hr = _smooth_field(rng, hr_size)
@@ -104,6 +112,14 @@ def make_scene(
     sm = (rng.random((hr_size, hr_size)) > 0.02).astype(np.uint8) * 255
     imsave_u16(join(scene_dir, "SM.png"), sm)
     if with_hr:
+        if hr_shift > 0:
+            from scipy.ndimage import shift as ndi_shift
+
+            gy, gx = rng.uniform(-hr_shift, hr_shift, size=2)
+            # grid-wrap matches the views' np.roll periodicity
+            hr = np.clip(
+                ndi_shift(hr, (gy, gx), order=3, mode="grid-wrap"), 0, 1
+            )
         imsave_u16(join(scene_dir, "HR.png"), np.round(hr * 65535).astype(np.uint16))
 
 
@@ -116,6 +132,7 @@ def make_synthetic_dataset(
     splits=("train", "test"),
     write_norm_csv: bool = True,
     detail: float = 0.0,
+    hr_shift: float = 0.0,
 ) -> str:
     """Create <root>/{train,test}/{RED,NIR}/imgset####/ with PNG assets."""
     rng = np.random.default_rng(seed)
@@ -133,6 +150,7 @@ def make_synthetic_dataset(
                     lr_size=lr_size,
                     with_hr=with_hr,
                     detail=detail,
+                    hr_shift=hr_shift,
                 )
                 if with_hr:
                     names.append(name)

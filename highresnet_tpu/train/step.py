@@ -96,6 +96,10 @@ def build_train_step(
     patch = t["patch_size"]
     register_size = t.get("register_size", REGISTER_SIZE)
     use_pallas_warp = bool(t.get("use_pallas_warp", False))
+    # training.register=False trains WITHOUT ShiftNet registration (loss on
+    # the raw SR frame) — the paper's Table 4 ablation arm; the reference
+    # code always registers, the paper compares both
+    register = bool(t.get("register", True))
     loss_metric = t.get("loss", "cPSNR")
     if loss_metric not in LOSS_METRICS:
         raise ValueError(
@@ -103,16 +107,20 @@ def build_train_step(
             "(reference switch: src/train.py:66-87)"
         )
     offset = (3 * patch - register_size) // 2
-    assert offset >= 0, "3*patch_size must cover the registration crop"
+    assert offset >= 0 or not register, "3*patch_size must cover the registration crop"
     border_mask = jnp.asarray(crop_mask(patch, t["crop"]))
     tx = make_optimizer(t["lr"])
 
     def loss_fn(params, batch_stats, dropout_rng, lrs, alphas, hrs, hr_maps):
         srs = hrnet.apply({"params": params["hrnet"]}, lrs, alphas)
-        warped, thetas, new_stats = _register_and_warp(
-            shiftnet, params["shiftnet"], batch_stats, srs, hrs, offset, dropout_rng,
-            train=True, register_size=register_size, use_pallas_warp=use_pallas_warp,
-        )
+        if register:
+            warped, thetas, new_stats = _register_and_warp(
+                shiftnet, params["shiftnet"], batch_stats, srs, hrs, offset, dropout_rng,
+                train=True, register_size=register_size, use_pallas_warp=use_pallas_warp,
+            )
+        else:  # unregistered arm: raw SR vs HR, no shift penalty term
+            warped, new_stats = srs, batch_stats
+            thetas = jnp.zeros((srs.shape[0], 2), srs.dtype)
         mask = border_mask[None] * hr_maps
         loss = registered_loss(warped, hrs, mask, thetas, lam, metric=loss_metric)
         return loss, (new_stats, thetas)

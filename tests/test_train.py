@@ -377,3 +377,41 @@ def test_mesh_training_rounds_eval_batch_and_pins_xla_pack(train_root, tmp_path)
     cfg["training"]["data_parallel"] = True
     out = train_and_get_best_model(cfg, run_dir=str(tmp_path / "run_mesh"))
     assert np.isfinite(out["best_score"])
+
+
+def test_unregistered_training_arm(train_root, tmp_path):
+    """training.register=False trains on the raw SR frame (paper Table 4's
+    ablation arm): the step runs, descends, and leaves ShiftNet untouched."""
+    import copy
+
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["register"] = False
+    scenes = discover_scenes(f"{train_root}/train")
+    batch = next(iter(BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )))
+
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
+    sn_before = jax.device_get(state.params["shiftnet"])
+    step = build_train_step(hrnet, shiftnet, cfg)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+        losses.append(float(m["loss"]))
+        assert float(m["mean_abs_shift"]) == 0.0
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    sn_after = jax.device_get(state.params["shiftnet"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sn_before), jax.tree_util.tree_leaves(sn_after)
+    ):
+        np.testing.assert_array_equal(a, b)
