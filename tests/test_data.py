@@ -259,3 +259,29 @@ def test_config_load(tmp_path):
     cfg2 = load_config(str(p))
     assert cfg2["training"]["batch_size"] == 2
     assert cfg2["training"]["lr"] == DEFAULT_CONFIG["training"]["lr"]
+
+
+def test_synth_hr_shift_offsets_only_the_hr(tmp_path):
+    """hr_shift>0 moves the written HR ground truth off the LR views'
+    frame (modeling Proba-V's un-co-registered HR) without touching the
+    views themselves."""
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+
+    kw = dict(n_scenes_per_channel=1, n_views=2, lr_size=16, seed=0, splits=("train",))
+    make_synthetic_dataset(str(tmp_path / "a"), **kw, hr_shift=0.0)
+    make_synthetic_dataset(str(tmp_path / "b"), **kw, hr_shift=1.5)
+    sa = read_imageset(discover_scenes(f"{tmp_path}/a/train")[0])
+    sb = read_imageset(discover_scenes(f"{tmp_path}/b/train")[0])
+    np.testing.assert_array_equal(sa.lr, sb.lr)  # views identical
+    assert np.abs(sa.hr - sb.hr).max() > 0.01  # HR frame moved
+    # the offset is a (sub-pixel) translation: correlation recovers after
+    # compensating with an integer shift search over +-2 px
+    def best_corr(x, y):
+        best = -1.0
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                r = np.roll(y, (dy, dx), axis=(0, 1))
+                c = np.corrcoef(x[4:-4, 4:-4].ravel(), r[4:-4, 4:-4].ravel())[0, 1]
+                best = max(best, c)
+        return best
+    assert best_corr(sa.hr, sb.hr) > 0.9
