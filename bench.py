@@ -162,12 +162,18 @@ def main(smoke: bool = False):
     details = {"device": str(jax.devices()[0]), "configs": []}
 
     if smoke:
-        cfg = bench_config(batch=1, views=2, size=16, k1=1, k2=3)
+        # at smoke scale the per-step compute is microseconds while relay
+        # readbacks are ~1 s, so a 2-point slope over tiny k can come out
+        # negative from timing noise; use enough enqueues for a stable
+        # slope and floor the reported value (the smoke mode only exists
+        # to catch bench.py bitrot, not to measure anything)
+        cfg = bench_config(batch=1, views=2, size=16, k1=5, k2=50)
+        value = max(cfg["scenes_per_sec"], 0.001)
         print(
             json.dumps(
                 {
                     "metric": "SMOKE scenes/sec (1x2x16px)",
-                    "value": round(cfg["scenes_per_sec"], 3),
+                    "value": round(value, 3),
                     "unit": "scenes/sec",
                     "vs_baseline": 0.0,
                 }
