@@ -125,3 +125,23 @@ def test_crop_mask_zero_crop():
 
     m = crop_mask(patch_size=4, crop=0)
     assert m.min() == 1.0  # no border zeroed
+
+
+def test_enqueue_timed_measures_slope():
+    """The shared two-point protocol returns per-step time with fixed
+    per-measurement overhead cancelled (the property the relay needs)."""
+    import time as _time
+
+    from highresnet_tpu.utils.profiling import enqueue_timed
+
+    calls = {"n": 0}
+
+    def step():
+        calls["n"] += 1
+        _time.sleep(0.002)  # 2 ms per enqueue
+        return None
+
+    dt = enqueue_timed(step, k1=3, k2=13, warmups=1)
+    # slope should recover ~2 ms/step regardless of any fixed overhead
+    assert 0.0015 < dt < 0.02, dt
+    assert calls["n"] == 1 + 3 + 13
