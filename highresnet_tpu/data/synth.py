@@ -74,6 +74,7 @@ def make_scene(
     noise: float = 0.01,
     detail: float = 0.0,
     hr_shift: float = 0.0,
+    hr_shift_sigma: float = 0.0,
 ) -> None:
     """detail > 0 mixes in band-limited sub-LR-Nyquist structure that 3x
     decimation aliases away — recoverable from multiple shifted views but
@@ -86,7 +87,18 @@ def make_scene(
     Proba-V HR is collected separately from the LR series and is NOT
     co-registered with it — the very reason the reference trains with a
     registered loss and scores with shift_cPSNR. hr_shift == 0 keeps the
-    frames aligned (where loss-time registration is provably a no-op)."""
+    frames aligned (where loss-time registration is provably a no-op).
+
+    hr_shift_sigma > 0 draws the per-scene HR offset from a zero-mean
+    Gaussian (truncated at ±2.4 sigma, inside the Lanczos warp window for
+    sigma <= 1.25) instead of the uniform law — the structured,
+    mostly-small, occasionally-multi-pixel misalignment profile of real
+    Proba-V acquisitions. This is the regime where the paper's registered
+    loss (Table 4, paper txt:831-837) has an edge: an unregistered model
+    must learn the conditional mean over the offset law (a sigma-wide
+    blur), while a registered model can stay sharp in the LR frame and pay
+    only the sub-pixel residual that shift_cPSNR's integer search cannot
+    remove. Mutually exclusive with hr_shift."""
     os.makedirs(scene_dir, exist_ok=True)
     hr_size = 3 * lr_size
     hr = _smooth_field(rng, hr_size)
@@ -112,10 +124,16 @@ def make_scene(
     sm = (rng.random((hr_size, hr_size)) > 0.02).astype(np.uint8) * 255
     imsave_u16(join(scene_dir, "SM.png"), sm)
     if with_hr:
-        if hr_shift > 0:
+        if hr_shift > 0 and hr_shift_sigma > 0:
+            raise ValueError("hr_shift and hr_shift_sigma are mutually exclusive")
+        if hr_shift > 0 or hr_shift_sigma > 0:
             from scipy.ndimage import shift as ndi_shift
 
-            gy, gx = rng.uniform(-hr_shift, hr_shift, size=2)
+            if hr_shift > 0:
+                gy, gx = rng.uniform(-hr_shift, hr_shift, size=2)
+            else:
+                lim = 2.4 * hr_shift_sigma
+                gy, gx = np.clip(rng.normal(0.0, hr_shift_sigma, size=2), -lim, lim)
             # grid-wrap matches the views' np.roll periodicity
             hr = np.clip(
                 ndi_shift(hr, (gy, gx), order=3, mode="grid-wrap"), 0, 1
@@ -133,6 +151,7 @@ def make_synthetic_dataset(
     write_norm_csv: bool = True,
     detail: float = 0.0,
     hr_shift: float = 0.0,
+    hr_shift_sigma: float = 0.0,
 ) -> str:
     """Create <root>/{train,test}/{RED,NIR}/imgset####/ with PNG assets."""
     rng = np.random.default_rng(seed)
@@ -151,6 +170,7 @@ def make_synthetic_dataset(
                     with_hr=with_hr,
                     detail=detail,
                     hr_shift=hr_shift,
+                    hr_shift_sigma=hr_shift_sigma,
                 )
                 if with_hr:
                     names.append(name)

@@ -240,6 +240,37 @@ def train_and_get_best_model(
     hrnet = HRNet(config=net_config, dtype=dtype)
     shiftnet = ShiftNet(dtype=dtype)
     state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
+
+    # ShiftNet warm-start: supervised pretraining on known Lanczos shifts
+    # before joint training (fixes the joint-bootstrap failure at
+    # multi-pixel misalignment, REGISTER_ABLATION.json protocol 3). Runs
+    # BEFORE mesh replication, from the GLOBAL scene list with a fixed
+    # seed, so every host computes the identical warm-started state.
+    warmup_steps = int(t.get("shiftnet_warmup_steps", 0) or 0)
+    if warmup_steps > 0 and t.get("register", True):
+        from highresnet_tpu.train.pretrain import hr_crop_pool, pretrain_shiftnet
+
+        register_size = t.get("register_size", 128)
+        pool = hr_crop_pool(train_list, register_size)
+        sn_params, sn_stats, rmse = pretrain_shiftnet(
+            shiftnet,
+            state.params["shiftnet"],
+            state.batch_stats,
+            pool,
+            jax.random.PRNGKey(seed + 1),
+            steps=warmup_steps,
+            sigma=t.get("shiftnet_warmup_sigma", 1.5),
+        )
+        state = state.replace(
+            params={**state.params, "shiftnet": sn_params}, batch_stats=sn_stats
+        )
+        if is_primary:
+            print(
+                f"shiftnet warm-start: {warmup_steps} steps on {len(pool)} HR "
+                f"crops, final shift RMSE {rmse:.3f} px",
+                flush=True,
+            )
+
     if multihost:
         # identical seeded init on every process -> replicate onto the
         # global mesh (grads then all-reduce over ICI within a host and
@@ -247,6 +278,17 @@ def train_and_get_best_model(
         state = replicate_to_mesh(mesh, state)
 
     train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh)
+    # registration curriculum: train the fusion model WITHOUT loss-time
+    # registration for the first N epochs, then enable it — lets HRNet form
+    # a stable output frame before ShiftNet's predictions steer the loss
+    register_warmup = int(t.get("register_warmup_epochs", 0) or 0)
+    warm_train_step = None
+    if register_warmup > 0 and t.get("register", True):
+        import copy as _copy
+
+        warm_cfg = _copy.deepcopy(config)
+        warm_cfg["training"]["register"] = False
+        warm_train_step = build_train_step(hrnet, shiftnet, warm_cfg, mesh=mesh)
     # the eval step rides the same mesh when the eval batch divides it
     # (padded final batches keep the compiled shape static); batch=1
     # stays single-device like the reference val loop (src/train.py:284)
@@ -301,6 +343,11 @@ def train_and_get_best_model(
     num_epochs = t["num_epochs"]
 
     for epoch in range(start_epoch, num_epochs + 1):
+        step_fn = (
+            warm_train_step
+            if (warm_train_step is not None and epoch <= register_warmup)
+            else train_step
+        )
         # accumulate the loss ON DEVICE: reading a scalar back per step
         # would force a host sync every step (very expensive on remote
         # device transports); one readback per epoch instead
@@ -315,7 +362,7 @@ def train_and_get_best_model(
                 args = make_global_batch(mesh, args, _BATCH_SPECS)
             elif mesh is not None:
                 args = shard_batch(mesh, args)
-            state, metrics = train_step(state, *args)
+            state, metrics = step_fn(state, *args)
             contrib = jnp.stack(
                 [
                     metrics["loss"] * len(batch.names),

@@ -415,3 +415,110 @@ def test_unregistered_training_arm(train_root, tmp_path):
         jax.tree_util.tree_leaves(sn_before), jax.tree_util.tree_leaves(sn_after)
     ):
         np.testing.assert_array_equal(a, b)
+
+
+def test_shiftnet_pretrain_recovers_shifts(train_root):
+    """Warm-start (train/pretrain.py): after supervised pretraining on known
+    Lanczos shifts, ShiftNet recovers a held-out offset with the exact sign
+    convention the train step's warp consumes (theta = flip(d))."""
+    import jax
+    import jax.numpy as jnp
+
+    from highresnet_tpu.data import discover_scenes
+    from highresnet_tpu.models import ShiftNet
+    from highresnet_tpu.ops.lanczos import lanczos_shift
+    from highresnet_tpu.train.pretrain import hr_crop_pool, pretrain_shiftnet
+
+    rs = 32
+    scenes = discover_scenes(f"{train_root}/train")
+    pool = hr_crop_pool(scenes, rs)
+    assert pool.shape[1:] == (rs, rs)
+
+    shiftnet = ShiftNet()
+    variables = shiftnet.init(jax.random.PRNGKey(0), jnp.zeros((1, rs, rs, 2)), train=False)
+    params, stats, rmse = pretrain_shiftnet(
+        shiftnet,
+        variables["params"],
+        variables.get("batch_stats", {}),
+        pool,
+        jax.random.PRNGKey(1),
+        steps=150,
+        sigma=1.0,
+        batch_size=16,
+        lr=3e-4,
+    )
+    # zero-init ShiftNet predicts 0 => RMSE == sigma; pretraining must beat it
+    assert rmse < 0.6, rmse
+
+    # held-out pair with a known offset: ref = moving sampled at i + d
+    moving = pool[:1]
+    d = jnp.asarray([[0.8, -0.5]])  # (dy, dx)
+    ref = lanczos_shift(jnp.asarray(moving), d)
+    pairs = jnp.stack([ref, jnp.asarray(moving)], axis=-1)
+    theta = shiftnet.apply({"params": params, "batch_stats": stats}, pairs, train=False)
+    err = np.abs(np.asarray(theta)[0] - np.asarray(jnp.flip(d, -1))[0])
+    assert err.max() < 0.5, (np.asarray(theta), err)
+
+
+def test_train_loop_warmstart_and_curriculum(train_root, tmp_path):
+    """training.shiftnet_warmup_steps pretrains ShiftNet before the joint
+    loop and training.register_warmup_epochs runs unregistered epochs first;
+    the loop completes and ShiftNet's params move away from their init."""
+    import jax
+
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.loop import train_and_get_best_model
+    from highresnet_tpu.train.state import create_train_state
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["num_epochs"] = 2
+    cfg["training"]["shiftnet_warmup_steps"] = 2
+    cfg["training"]["register_warmup_epochs"] = 1
+    cfg["training"]["checkpoint_every"] = 0
+
+    init_state = create_train_state(
+        HRNet(config=cfg["network"]), ShiftNet(), cfg, jax.random.PRNGKey(cfg["training"]["seed"])
+    )
+    fc2_init = np.asarray(init_state.params["shiftnet"]["fc2"]["kernel"])
+
+    result = train_and_get_best_model(cfg)
+    assert np.isfinite(result["best_score"])
+    fc2_after = np.asarray(result["params"]["shiftnet"]["fc2"]["kernel"])
+    # zero-init fc2 must have been trained by the warm-start (and epoch 2)
+    assert np.abs(fc2_after).max() > 0 and not np.array_equal(fc2_init, fc2_after)
+
+
+def test_synth_hr_shift_sigma(tmp_path):
+    """hr_shift_sigma writes per-scene Gaussian HR offsets: HRs differ from
+    the aligned rendering, offsets vary across scenes, and the knob is
+    mutually exclusive with hr_shift."""
+    import numpy as np
+
+    from highresnet_tpu.data.synth import make_scene, make_synthetic_dataset
+    from highresnet_tpu.utils.imageio import imread_u16
+
+    root = tmp_path / "sig"
+    make_synthetic_dataset(
+        str(root), n_scenes_per_channel=2, n_views=3, lr_size=16, seed=3,
+        splits=("train",), hr_shift_sigma=1.0,
+    )
+    aligned = tmp_path / "aligned"
+    make_synthetic_dataset(
+        str(aligned), n_scenes_per_channel=2, n_views=3, lr_size=16, seed=3,
+        splits=("train",),
+    )
+    import glob
+    import os
+
+    a = sorted(glob.glob(os.path.join(str(root), "train", "*", "*", "HR.png")))
+    b = sorted(glob.glob(os.path.join(str(aligned), "train", "*", "*", "HR.png")))
+    assert len(a) == len(b) == 4
+    diffs = [
+        np.abs(imread_u16(pa).astype(float) - imread_u16(pb).astype(float)).mean()
+        for pa, pb in zip(a, b)
+    ]
+    assert any(d > 0 for d in diffs), "sigma offsets should perturb the HR"
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_scene(str(tmp_path / "bad"), np.random.default_rng(0), n_views=1,
+                   lr_size=8, hr_shift=1.0, hr_shift_sigma=1.0)
