@@ -62,7 +62,9 @@ def main(smoke: bool = False):
             "lr_size": size,
             "dtype": dtype_name,
             "step_time_s": step,
-            "scenes_per_sec": batch / step,
+            # step <= 0 means the two-point slope broke (relay noise at tiny
+            # shapes) — surface None, never a divide-by-zero or a fake number
+            "scenes_per_sec": batch / step if step > 0 else None,
             "compile_time_s": compile_time,
         }
         from highresnet_tpu.utils.flops import hrnet_forward_flops, utilization
@@ -116,9 +118,11 @@ def main(smoke: bool = False):
             "patch": patch,
             "dtype": dtype_name,
             "step_time_s": dt,
-            "scenes_per_sec": batch / dt,
+            "scenes_per_sec": batch / dt if dt > 0 else None,
             "compile_time_s": compile_time,
-            "projected_400epoch_1160scene_hours": 400 * 1160 / (batch / dt) / 3600,
+            "projected_400epoch_1160scene_hours": (
+                400 * 1160 * dt / batch / 3600 if dt > 0 else None
+            ),
         }
         flops = train_step_flops(DEFAULT_CONFIG["network"], batch, views, patch)
         out.update(utilization(flops, dt, dtype_name))
@@ -155,7 +159,7 @@ def main(smoke: bool = False):
             "views": views,
             "lr_size": size,
             "step_time_s": dt,
-            "scenes_per_sec": batch / dt,
+            "scenes_per_sec": batch / dt if dt > 0 else None,
             "compile_time_s": compile_time,
         }
 
@@ -163,22 +167,25 @@ def main(smoke: bool = False):
 
     if smoke:
         # at smoke scale the per-step compute is microseconds while relay
-        # readbacks are ~1 s, so a 2-point slope over tiny k can come out
-        # negative from timing noise; use enough enqueues for a stable
-        # slope and floor the reported value (the smoke mode only exists
-        # to catch bench.py bitrot, not to measure anything)
+        # readbacks are ~1 s, so a 2-point slope over tiny k can still come
+        # out non-positive from timing noise even with many enqueues; that
+        # is a broken TIMING PROTOCOL, so report it as such (value null +
+        # unstable_timing flag) instead of flooring it into a plausible-
+        # looking number (the smoke mode only exists to catch bench.py
+        # bitrot, not to measure anything)
         cfg = bench_config(batch=1, views=2, size=16, k1=5, k2=50)
-        value = max(cfg["scenes_per_sec"], 0.001)
-        print(
-            json.dumps(
-                {
-                    "metric": "SMOKE scenes/sec (1x2x16px)",
-                    "value": round(value, 3),
-                    "unit": "scenes/sec",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
+        dt = cfg["step_time_s"]
+        out = {
+            "metric": "SMOKE scenes/sec (1x2x16px)",
+            "value": None,
+            "unit": "scenes/sec",
+            "vs_baseline": 0.0,
+        }
+        if dt > 0:
+            out["value"] = round(cfg["scenes_per_sec"], 3)
+        else:
+            out["unstable_timing"] = True
+        print(json.dumps(out))
         return
 
     headline = bench_config(batch=8, views=16, size=128)

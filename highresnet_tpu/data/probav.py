@@ -163,10 +163,13 @@ def read_imageset(
             hr = imread_u16(hr_path).astype(np.uint16)
 
     if create_patches:
-        # patch_size == image size is a no-op crop at offset 0 (the
-        # reference's randint(0, 0) allows it; Generator.integers does not);
-        # a LARGER patch_size is a misconfiguration that must fail here, not
-        # as an opaque shape error deep inside the compiled train step
+        # patch_size == image size is accepted as a no-op crop at offset 0.
+        # This deliberately EXTENDS the reference, whose
+        # np.random.randint(low=0, high=0) raises ValueError for that case
+        # (DataLoader.py:132) — full-frame "patches" are useful for tiny
+        # synthetic scenes. A LARGER patch_size is a misconfiguration that
+        # must fail here, not as an opaque shape error deep inside the
+        # compiled train step
         max_x = lr.shape[1] - patch_size
         max_y = lr.shape[2] - patch_size
         if max_x < 0 or max_y < 0:

@@ -36,6 +36,29 @@ from highresnet_tpu.train.state import TrainState, make_optimizer
 REGISTER_SIZE = 128  # default ShiftNet input crop (torch-compatible fc geometry)
 
 
+def _mesh_safe_hrnet(hrnet: HRNet, mesh: Optional[Mesh]) -> HRNet:
+    """Pin the XLA pair-pack path for any meshed step.
+
+    A Pallas call cannot be partitioned by the SPMD compiler, so the
+    auto-dispatch default (Pallas on TPU, hrnet.py:138) must not reach a
+    mesh-sharded program. The training loop guards its own construction;
+    this guard lives in the exported step builders so direct callers of
+    build_train_step/build_eval_step/build_predict_step with a mesh get a
+    partitionable program too. An EXPLICIT config opt-in
+    (recursive.use_pallas_pack=true) is honored unchanged.
+    """
+    if mesh is None:
+        return hrnet
+    cfg = hrnet.config or {}
+    if cfg.get("recursive", {}).get("use_pallas_pack") is not None:
+        return hrnet
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    cfg.setdefault("recursive", {})["use_pallas_pack"] = False
+    return HRNet(config=cfg, dtype=hrnet.dtype)
+
+
 def _register_and_warp(
     shiftnet, sn_params, batch_stats, srs, hrs, offset, dropout_rng, train,
     register_size=REGISTER_SIZE, use_pallas_warp=False,
@@ -91,6 +114,7 @@ def build_train_step(
     XLA-inserted collectives over 'view' (SURVEY.md §2: the view axis is
     the one to shard when L grows).
     """
+    hrnet = _mesh_safe_hrnet(hrnet, mesh)
     t = config["training"]
     lam = t["lambda"]
     patch = t["patch_size"]
@@ -179,6 +203,7 @@ def build_eval_step(
     multi-host mesh can read the full score vector locally (scores are a
     few floats; srs rides along for the per-epoch TB image).
     """
+    hrnet = _mesh_safe_hrnet(hrnet, mesh)
 
     def step(params, lrs, alphas, hrs, hr_maps):
         srs = hrnet.apply({"params": params}, lrs, alphas)
@@ -206,6 +231,7 @@ def build_eval_step(
 
 def build_predict_step(hrnet: HRNet, mesh: Optional[Mesh] = None):
     """SR forward only (test scenes without HR)."""
+    hrnet = _mesh_safe_hrnet(hrnet, mesh)
 
     def step(params, lrs, alphas):
         return hrnet.apply({"params": params}, lrs, alphas)

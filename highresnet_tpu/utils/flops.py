@@ -105,6 +105,8 @@ def train_step_flops(
 
 
 def utilization(flops: float, seconds: float, dtype: str = "float32") -> Dict[str, float]:
+    if seconds <= 0:  # broken two-point slope (relay noise) — no fake numbers
+        return {"achieved_tflops_per_s": None, "mxu_utilization": None}
     tflops = flops / seconds / 1e12
     peak = V5E_PEAK_TFLOPS.get(dtype, V5E_PEAK_TFLOPS["float32"])
     return {"achieved_tflops_per_s": round(tflops, 2), "mxu_utilization": round(tflops / peak, 3)}

@@ -522,3 +522,26 @@ def test_synth_hr_shift_sigma(tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         make_scene(str(tmp_path / "bad"), np.random.default_rng(0), n_views=1,
                    lr_size=8, hr_shift=1.0, hr_shift_sigma=1.0)
+
+
+def test_mesh_safe_pack_guard_in_step_builders():
+    """Meshed step builders must pin the XLA pair-pack path when the config
+    leaves use_pallas_pack on auto (a Pallas call cannot be SPMD-
+    partitioned); an explicit opt-in is honored; no mesh leaves auto."""
+    from highresnet_tpu.models import HRNet
+    from highresnet_tpu.parallel.mesh import make_mesh
+    from highresnet_tpu.train.step import _mesh_safe_hrnet
+    from highresnet_tpu.utils.flops import utilization
+
+    mesh = make_mesh(n_devices=2)
+    h_auto = HRNet(config={"recursive": {}})
+    assert _mesh_safe_hrnet(h_auto, None) is h_auto
+    pinned = _mesh_safe_hrnet(h_auto, mesh)
+    assert pinned.config["recursive"]["use_pallas_pack"] is False
+    h_opt = HRNet(config={"recursive": {"use_pallas_pack": True}})
+    assert _mesh_safe_hrnet(h_opt, mesh) is h_opt
+
+    # bench accounting guard: a broken two-point slope reports None fields,
+    # never a divide-by-zero or plausible-looking garbage
+    u = utilization(1e9, 0.0)
+    assert u["achieved_tflops_per_s"] is None and u["mxu_utilization"] is None
