@@ -12,6 +12,7 @@ avoid shape-churn recompiles.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -80,6 +81,31 @@ class _EnsembleForward:
         return np.asarray(self._fn(self.params_list, jnp.asarray(lrs), jnp.asarray(alphas)))
 
 
+def warn_out_of_range(sr: np.ndarray, name: str = "", tol: float = 0.05) -> bool:
+    """Loudly flag SR output that leaves [0, 1] by more than ``tol``.
+
+    Scoring clips to [0, 1]; an output far outside the range means the clip
+    silently destroys the image and the resulting cPSNR collapses to a
+    floor. The known cause is benchmarking a checkpoint at an
+    off-distribution view count (VIEWS_ABLATION.json "clip-floor
+    artifact") — without this warning such runs return garbage scores with
+    no indication anything is wrong. Returns True when the warning fired.
+    """
+    lo, hi = float(np.min(sr)), float(np.max(sr))
+    if lo < -tol or hi > 1.0 + tol:
+        warnings.warn(
+            f"SR output{f' for scene {name!r}' if name else ''} leaves [0, 1] "
+            f"by more than {tol} (range [{lo:.3f}, {hi:.3f}]); scores after "
+            "clipping are unreliable. This typically means the checkpoint is "
+            "run at a view count it was not trained with (clip-floor "
+            "artifact, VIEWS_ABLATION.json).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return True
+    return False
+
+
 def get_sr_and_score(
     imset: ImageSet | Batch,
     forward,
@@ -99,6 +125,7 @@ def get_sr_and_score(
     else:
         batch = imset
     sr = forward(batch.lrs, batch.alphas)[0]
+    warn_out_of_range(np.asarray(sr), name=batch.names[0] if batch.names else "")
     score = None
     if batch.hrs is not None:
         sr_scored = jnp.asarray(sr)

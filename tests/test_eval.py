@@ -164,3 +164,30 @@ def test_checkpoint_roundtrip_via_model(eval_env, tmp_path):
     sr1, _ = model(ds[0])
     sr2, _ = m2(ds[0])
     np.testing.assert_allclose(sr1, sr2, atol=0)
+
+
+def test_out_of_range_sr_warns(eval_env):
+    """Benchmarking a checkpoint at the wrong view count emits out-of-[0,1]
+    SR whose clipped scores collapse to a floor (VIEWS_ABLATION.json); the
+    eval path must warn loudly instead of returning silent garbage."""
+    import warnings
+
+    from highresnet_tpu.eval.evaluator import get_sr_and_score, warn_out_of_range
+
+    root, config, model = eval_env
+    ds = SceneDataset(discover_scenes(f"{root}/train"), top_k=-1)
+
+    bad_forward = lambda lrs, alphas: np.full((lrs.shape[0], 48, 48), 1.7, np.float32)
+    with pytest.warns(RuntimeWarning, match="leaves \\[0, 1\\]"):
+        _, score = get_sr_and_score(ds[0], bad_forward, min_l=4)
+    assert score is not None  # still scored (clipped), just loudly
+
+    ok_forward = lambda lrs, alphas: np.full((lrs.shape[0], 48, 48), 0.5, np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        get_sr_and_score(ds[0], ok_forward, min_l=4)
+
+    # tolerance boundary: 1.04 is within tol=0.05, 1.06 is not
+    assert not warn_out_of_range(np.full((4, 4), 1.04, np.float32))
+    with pytest.warns(RuntimeWarning):
+        assert warn_out_of_range(np.full((4, 4), 1.06, np.float32))
