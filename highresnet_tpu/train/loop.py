@@ -42,7 +42,7 @@ from highresnet_tpu.parallel.distributed import (
     maybe_initialize,
     replicate_to_mesh,
 )
-from highresnet_tpu.parallel.mesh import make_mesh, shard_batch
+from highresnet_tpu.parallel.mesh import make_mesh, put_with_specs, shard_batch
 from highresnet_tpu.train.checkpoint import CheckpointManager
 from highresnet_tpu.train.schedule import ReduceLROnPlateau
 from highresnet_tpu.train.state import create_train_state
@@ -54,6 +54,17 @@ from jax.sharding import PartitionSpec as _P
 _BATCH_SPECS = (
     _P("data", None, None, None),
     _P("data", None),
+    _P("data", None, None),
+    _P("data", None, None),
+)
+
+# 2-D (data x view) layout: the LR stack's view axis is sharded too, so the
+# encoder's folded (B*L) conv batch spans both mesh axes; HR targets only
+# have a batch axis (SURVEY.md §2: the view axis is the one to shard as L
+# grows; same specs as __graft_entry__.dryrun_multichip's 2-D leg)
+_BATCH_SPECS_2D = (
+    _P("data", "view", None, None),
+    _P("data", "view"),
     _P("data", None, None),
     _P("data", None, None),
 )
@@ -191,7 +202,30 @@ def train_and_get_best_model(
 
     multihost = is_multihost()
     mesh = None
-    if multihost:
+    shard_views = False
+    mesh_cfg = t.get("mesh")
+    if mesh_cfg and multihost:
+        raise ValueError(
+            "training.mesh (explicit 2-D layout) is a single-controller "
+            "feature; multi-host runs use the 1-D per-host data layout"
+        )
+    if mesh_cfg and not multihost:
+        # explicit layout: training.mesh = {"data": N, "view": M} shards
+        # scenes over 'data' and the LR view axis over 'view'
+        dp = int(mesh_cfg.get("data", 1))
+        vp = int(mesh_cfg.get("view", 1))
+        if dp * vp > jax.device_count():
+            raise ValueError(
+                f"training.mesh data*view = {dp}*{vp} exceeds the "
+                f"{jax.device_count()} available devices"
+            )
+        if t["batch_size"] % dp:
+            raise ValueError(f"batch_size {t['batch_size']} must divide over data={dp}")
+        if t["min_L"] % vp:
+            raise ValueError(f"min_L {t['min_L']} must divide over view={vp}")
+        mesh = make_mesh(n_devices=dp * vp, shape=(dp, vp), axis_names=("data", "view"))
+        shard_views = vp > 1
+    elif multihost:
         # every process feeds its own shard; the mesh must span ALL
         # devices and the GLOBAL batch must divide evenly
         if t["batch_size"] % jax.device_count():
@@ -277,7 +311,7 @@ def train_and_get_best_model(
         # DCN across hosts, inserted by jit)
         state = replicate_to_mesh(mesh, state)
 
-    train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh)
+    train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh, shard_views=shard_views)
     # registration curriculum: train the fusion model WITHOUT loss-time
     # registration for the first N epochs, then enable it — lets HRNet form
     # a stable output frame before ShiftNet's predictions steer the loss
@@ -288,19 +322,22 @@ def train_and_get_best_model(
 
         warm_cfg = _copy.deepcopy(config)
         warm_cfg["training"]["register"] = False
-        warm_train_step = build_train_step(hrnet, shiftnet, warm_cfg, mesh=mesh)
+        warm_train_step = build_train_step(
+            hrnet, shiftnet, warm_cfg, mesh=mesh, shard_views=shard_views
+        )
     # the eval step rides the same mesh when the eval batch divides it
     # (padded final batches keep the compiled shape static); batch=1
     # stays single-device like the reference val loop (src/train.py:284)
     eval_batch = t.get("eval_batch_size", 1)
     eval_mesh = None
     if mesh is not None and eval_batch > 1:
-        # round the eval batch UP to a device multiple so the sharded eval
-        # step always engages on a mesh (evaluate_model pads short batches
-        # to the static compiled shape, so any val-set size works); the old
-        # divisibility requirement silently fell back to one-device eval on
-        # any pod with more devices than eval_batch_size
-        n_dev = mesh.devices.size
+        # round the eval batch UP to a multiple of the DATA axis so the
+        # sharded eval step always engages on a mesh (evaluate_model pads
+        # short batches to the static compiled shape, so any val-set size
+        # works); the old divisibility requirement silently fell back to
+        # one-device eval on any pod with more devices than eval_batch_size.
+        # On a 2-D (data x view) mesh, eval shards scenes over 'data' only
+        n_dev = mesh.shape["data"]
         eval_batch = ((eval_batch + n_dev - 1) // n_dev) * n_dev
         eval_mesh = mesh
     eval_step = build_eval_step(hrnet, config, mesh=eval_mesh, replicate_out=multihost)
@@ -360,6 +397,8 @@ def train_and_get_best_model(
             if multihost:
                 # each host contributes its local shard of the global batch
                 args = make_global_batch(mesh, args, _BATCH_SPECS)
+            elif shard_views:
+                args = put_with_specs(mesh, args, _BATCH_SPECS_2D)
             elif mesh is not None:
                 args = shard_batch(mesh, args)
             state, metrics = step_fn(state, *args)

@@ -244,3 +244,78 @@ def test_maybe_initialize_noop_without_env(monkeypatch):
     monkeypatch.delenv("HRN_COORDINATOR", raising=False)
     maybe_initialize()  # must not raise or re-init
     assert jax.process_count() == 1
+
+
+@pytest.mark.slow
+def test_loop_level_2d_mesh_matches_1d(tmp_path):
+    """training.mesh={'data':2,'view':2} flows from the user-facing loop to
+    a 2-D view-sharded train step; the resulting best score matches the 1-D
+    data-parallel layout (same seed, same batch order) to float tolerance."""
+    import copy
+
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    root = tmp_path / "data2d"
+    make_synthetic_dataset(
+        str(root), n_scenes_per_channel=3, n_views=4, lr_size=24, seed=0, splits=("train",)
+    )
+    base = {
+        "network": {
+            "encoder": {"in_channels": 2, "num_layers": 1, "kernel_size": 3, "channel_size": 8},
+            "recursive": {"alpha_residual": True, "in_channels": 8, "kernel_size": 3},
+            "decoder": {
+                "deconv": {"in_channels": 8, "kernel_size": 3, "stride": 3, "out_channels": 8},
+                "final": {"in_channels": 8, "kernel_size": 1, "out_channels": 1},
+            },
+        },
+        "training": {
+            "batch_size": 4, "min_L": 4, "n_views": 4, "crop": 1, "lr": 1e-3,
+            "lr_step": 2, "lr_decay": 0.97, "beta": 50.0, "create_patches": True,
+            "patch_size": 16, "register_size": 32, "val_proportion": 0.34,
+            "lambda": 1e-6, "num_epochs": 1, "n_workers": 1, "seed": 0,
+            "eval_batch_size": 2, "checkpoint_every": 0, "shuffle": False,
+        },
+        "paths": {"prefix": str(root), "checkpoint_dir": "", "tb_log_file_dir": ""},
+    }
+
+    scores = {}
+    for name, mesh_cfg in (("1d", {"data": 4}), ("2d", {"data": 2, "view": 2})):
+        cfg = copy.deepcopy(base)
+        cfg["training"]["mesh"] = mesh_cfg
+        cfg["paths"]["checkpoint_dir"] = str(tmp_path / f"ckpt_{name}")
+        scores[name] = train_and_get_best_model(cfg)["best_score"]
+    assert np.isfinite(scores["1d"]) and np.isfinite(scores["2d"])
+    assert scores["2d"] == pytest.approx(scores["1d"], abs=2e-3), scores
+
+
+def test_loop_mesh_config_validation(tmp_path):
+    """Bad training.mesh configs fail fast with actionable errors."""
+    import copy
+
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    root = tmp_path / "data_v"
+    make_synthetic_dataset(
+        str(root), n_scenes_per_channel=1, n_views=4, lr_size=24, seed=0, splits=("train",)
+    )
+    base = {
+        "network": {},
+        "training": {
+            "batch_size": 3, "min_L": 4, "n_views": 4, "crop": 1, "lr": 1e-3,
+            "lr_step": 2, "lr_decay": 0.97, "beta": 50.0, "patch_size": 16,
+            "register_size": 32, "val_proportion": 0.5, "lambda": 1e-6,
+            "num_epochs": 1, "n_workers": 1, "seed": 0,
+        },
+        "paths": {"prefix": str(root), "checkpoint_dir": str(tmp_path / "c"), "tb_log_file_dir": ""},
+    }
+    for mesh_cfg, match in (
+        ({"data": 16, "view": 1}, "exceeds"),
+        ({"data": 2, "view": 1}, "batch_size"),
+        ({"data": 1, "view": 3}, "min_L"),
+    ):
+        cfg = copy.deepcopy(base)
+        cfg["training"]["mesh"] = mesh_cfg
+        with pytest.raises(ValueError, match=match):
+            train_and_get_best_model(cfg)
