@@ -246,6 +246,16 @@ def train_and_get_best_model(
     local_train_list = shard_for_hosts(train_list, proc, n_proc)
     local_batch_size = t["batch_size"] // n_proc
 
+    if mesh is not None and len(local_train_list) < local_batch_size:
+        # meshed runs drop ragged batches (static sharded shapes); with
+        # fewer scenes than one batch the loader would yield NOTHING and
+        # every epoch would silently train zero steps (loss=0.0)
+        raise ValueError(
+            f"batch_size {local_batch_size} exceeds the {len(local_train_list)} "
+            "local training scenes: a mesh-sharded run drops ragged batches, "
+            "so no training would happen. Lower batch_size or add scenes."
+        )
+
     loader = BatchLoader(
         local_train_list,
         batch_size=local_batch_size,

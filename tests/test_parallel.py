@@ -249,16 +249,23 @@ def test_maybe_initialize_noop_without_env(monkeypatch):
 @pytest.mark.slow
 def test_loop_level_2d_mesh_matches_1d(tmp_path):
     """training.mesh={'data':2,'view':2} flows from the user-facing loop to
-    a 2-D view-sharded train step; the resulting best score matches the 1-D
-    data-parallel layout (same seed, same batch order) to float tolerance."""
+    a 2-D view-sharded train step; the PER-STEP LOSSES match the 1-D
+    data-parallel layout (same seed, same deterministic batch order) to
+    float tolerance. Losses — not params or val scores — are compared:
+    eval view-sampling is unseeded, and Adam turns reduction-order noise in
+    near-zero gradients into +-lr param flips (update ~ sign(g) on step 1),
+    so bitwise param equality across layouts is not a meaningful bar."""
     import copy
 
+    import jax
+
+    import highresnet_tpu.train.loop as L
     from highresnet_tpu.data.synth import make_synthetic_dataset
     from highresnet_tpu.train.loop import train_and_get_best_model
 
     root = tmp_path / "data2d"
     make_synthetic_dataset(
-        str(root), n_scenes_per_channel=3, n_views=4, lr_size=24, seed=0, splits=("train",)
+        str(root), n_scenes_per_channel=8, n_views=4, lr_size=24, seed=0, splits=("train",)
     )
     base = {
         "network": {
@@ -272,21 +279,43 @@ def test_loop_level_2d_mesh_matches_1d(tmp_path):
         "training": {
             "batch_size": 4, "min_L": 4, "n_views": 4, "crop": 1, "lr": 1e-3,
             "lr_step": 2, "lr_decay": 0.97, "beta": 50.0, "create_patches": True,
-            "patch_size": 16, "register_size": 32, "val_proportion": 0.34,
+            "patch_size": 16, "register_size": 32, "val_proportion": 0.25,
             "lambda": 1e-6, "num_epochs": 1, "n_workers": 1, "seed": 0,
             "eval_batch_size": 2, "checkpoint_every": 0, "shuffle": False,
         },
         "paths": {"prefix": str(root), "checkpoint_dir": "", "tb_log_file_dir": ""},
     }
 
-    scores = {}
-    for name, mesh_cfg in (("1d", {"data": 4}), ("2d", {"data": 2, "view": 2})):
-        cfg = copy.deepcopy(base)
-        cfg["training"]["mesh"] = mesh_cfg
-        cfg["paths"]["checkpoint_dir"] = str(tmp_path / f"ckpt_{name}")
-        scores[name] = train_and_get_best_model(cfg)["best_score"]
-    assert np.isfinite(scores["1d"]) and np.isfinite(scores["2d"])
-    assert scores["2d"] == pytest.approx(scores["1d"], abs=2e-3), scores
+    losses = {}
+    orig_build = L.build_train_step
+
+    def capturing_build(*a, **k):
+        step = orig_build(*a, **k)
+        record = losses[_current[0]]
+
+        def wrapped(state, *args):
+            state, m = step(state, *args)
+            record.append(float(m["loss"]))
+            return state, m
+
+        return wrapped
+
+    _current = [None]
+    L.build_train_step = capturing_build
+    try:
+        for name, mesh_cfg in (("1d", {"data": 4}), ("2d", {"data": 2, "view": 2})):
+            cfg = copy.deepcopy(base)
+            cfg["training"]["mesh"] = mesh_cfg
+            cfg["paths"]["checkpoint_dir"] = str(tmp_path / f"ckpt_{name}")
+            _current[0] = name
+            losses[name] = []
+            train_and_get_best_model(cfg)
+    finally:
+        L.build_train_step = orig_build
+
+    assert len(losses["1d"]) == len(losses["2d"]) == 3, losses  # 12 scenes / batch 4
+    np.testing.assert_allclose(losses["1d"], losses["2d"], rtol=1e-4, atol=1e-5)
+    assert all(np.isfinite(v) for v in losses["1d"])
 
 
 def test_loop_mesh_config_validation(tmp_path):
@@ -314,6 +343,9 @@ def test_loop_mesh_config_validation(tmp_path):
         ({"data": 16, "view": 1}, "exceeds"),
         ({"data": 2, "view": 1}, "batch_size"),
         ({"data": 1, "view": 3}, "min_L"),
+        # fewer scenes than one batch: meshed runs drop ragged batches and
+        # would otherwise silently train zero steps per epoch
+        ({"data": 1, "view": 1}, "local training scenes"),
     ):
         cfg = copy.deepcopy(base)
         cfg["training"]["mesh"] = mesh_cfg
