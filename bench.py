@@ -153,7 +153,7 @@ def main(smoke: bool = False):
         from highresnet_tpu.utils.profiling import enqueue_timed
 
         dt = enqueue_timed(run_once, k1, k2)
-        return {
+        out = {
             "kind": "eval_step",
             "batch": batch,
             "views": views,
@@ -162,6 +162,12 @@ def main(smoke: bool = False):
             "scenes_per_sec": batch / dt if dt > 0 else None,
             "compile_time_s": compile_time,
         }
+        from highresnet_tpu.utils.flops import eval_step_flops, utilization
+
+        out.update(
+            utilization(eval_step_flops(DEFAULT_CONFIG["network"], batch, views, size), dt)
+        )
+        return out
 
     details = {"device": str(jax.devices()[0]), "configs": []}
 

@@ -154,3 +154,106 @@ class BatchLoader:
         finally:
             stop.set()
         self.epoch += 1
+
+
+class EpochCache:
+    """Pre-collated, memory-mapped epoch cache over a BatchLoader.
+
+    The per-epoch cost of the live pipeline is PNG/pack decode + view
+    sampling + patch crop + collate for every scene — ~3 ms/scene on this
+    1-core host, which leaves almost no headroom over the bf16 train step's
+    consumption rate (BASELINE.md: 338 scenes/s packed vs 341 scenes/s bf16
+    inference) and would starve a multi-chip consumer outright.
+
+    This cache materializes ``n_variants`` full epoch realizations (each
+    with its own view/patch sampling, epoch-keyed like the live loader) as
+    one .npy per array on disk, then serves every later epoch from
+    ``np.load(mmap_mode="r")`` slices: zero decode, zero collate, reads ride
+    the OS page cache. Sampling diversity is bounded by n_variants — the
+    classic pre-packed-epochs tradeoff; raise n_variants to taste (disk is
+    batches * n_variants * ~(B*L*h*w + B*9*h*w) f32).
+
+    Scales per-host on pods: each host caches only its own shard (the inner
+    loader is already sharded by shard_for_hosts).
+    """
+
+    def __init__(self, loader: BatchLoader, cache_dir: str, n_variants: int = 2):
+        import os
+
+        if n_variants < 1:
+            raise ValueError("n_variants must be >= 1")
+        self.loader = loader
+        self.cache_dir = cache_dir
+        self.n_variants = n_variants
+        self.epoch = 0
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def __len__(self):
+        return len(self.loader)
+
+    @property
+    def num_scenes(self):
+        return self.loader.num_scenes
+
+    def _base(self, variant: int) -> str:
+        import os
+
+        return os.path.join(self.cache_dir, f"variant{variant:03d}")
+
+    def _is_built(self, variant: int) -> bool:
+        import os
+
+        return os.path.exists(self._base(variant) + ".meta.json")
+
+    def _build(self, variant: int):
+        """Materialize one epoch realization through the live loader.
+
+        Yields the batches while writing them, so the building epoch costs
+        no extra wall-clock over a live epoch.
+        """
+        import json
+        import os
+
+        batches = []
+        for b in self.loader:  # advances loader.epoch => fresh sampling
+            batches.append(b)
+            yield b
+        if not batches:
+            raise ValueError("inner loader produced no batches; nothing to cache")
+        base = self._base(variant)
+        arrays = {}
+        for field in ("lrs", "alphas", "hrs", "hr_maps"):
+            vals = [getattr(b, field) for b in batches]
+            if vals[0] is not None:
+                arrays[field] = np.stack(vals)
+        for field, arr in arrays.items():
+            np.save(base + f".{field}.npy", arr)
+        meta = {"names": [list(b.names) for b in batches], "fields": sorted(arrays)}
+        with open(base + ".meta.json.tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(base + ".meta.json.tmp", base + ".meta.json")  # commit marker
+
+    def _serve(self, variant: int):
+        import json
+
+        base = self._base(variant)
+        with open(base + ".meta.json") as f:
+            meta = json.load(f)
+        mm = {
+            field: np.load(base + f".{field}.npy", mmap_mode="r")
+            for field in meta["fields"]
+        }
+        for i, names in enumerate(meta["names"]):
+            get = lambda f: mm[f][i] if f in mm else None  # noqa: B023
+            yield Batch(
+                lrs=get("lrs"), alphas=get("alphas"), hrs=get("hrs"),
+                hr_maps=get("hr_maps"), names=tuple(names),
+            )
+
+    def __iter__(self) -> Iterator[Batch]:
+        variant = self.epoch % self.n_variants
+        if self._is_built(variant):
+            yield from self._serve(variant)
+        else:
+            yield from self._build(variant)
+        self.epoch += 1

@@ -270,6 +270,24 @@ def train_and_get_best_model(
         drop_last=mesh is not None,
     )
 
+    # optional pre-collated epoch cache: trades sampling freshness
+    # (n_variants epoch realizations, cycled) for a decode-free, mmap-served
+    # input path — headroom for consumers faster than the 1-core live
+    # pipeline (config: training.epoch_cache_variants > 0)
+    cache_variants = int(t.get("epoch_cache_variants", 0) or 0)
+    if cache_variants > 0:
+        from highresnet_tpu.data.pipeline import EpochCache
+
+        proto_key = (
+            f"b{local_batch_size}_L{t['min_L']}_k{t['n_views']}_p{t['patch_size']}"
+            f"_c{int(t.get('create_patches', True))}_sh{int(t.get('shuffle', True))}"
+            f"_d{int(mesh is not None)}_s{seed}_h{proc}_n{len(local_train_list)}"
+        )
+        cache_dir = os.path.join(
+            t.get("epoch_cache_dir") or os.path.join(data_dir, ".epoch_cache"), proto_key
+        )
+        loader = EpochCache(loader, cache_dir, n_variants=cache_variants)
+
     # --- models / state -------------------------------------------------------
     dtype = jnp.bfloat16 if t.get("compute_dtype") == "bfloat16" else jnp.float32
     net_config = config["network"]

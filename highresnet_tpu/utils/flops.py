@@ -9,11 +9,17 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-# v5e single-chip peak (dense): ~197 TOPS bf16, ~49 TFLOP/s nominal f32.
-# Measured f32 utilization can exceed 1.0 because XLA lowers f32 convs to
-# multi-pass bf16 on the MXU (precision ~f32; our torch-parity tests pass
-# at 1e-4 tolerances under it) — i.e. f32 inference here is MXU-saturated.
-V5E_PEAK_TFLOPS = {"float32": 49.0, "bfloat16": 197.0}
+# v5e single-chip MXU peaks used as the utilization basis. bf16: ~197
+# dense TOPS. f32: XLA lowers f32 convs to 3-pass bf16 on the MXU
+# (precision ~f32; torch-parity tests pass at 1e-4 under it), so the
+# EXECUTION peak for f32 matmul work is 197/3 ~ 65.7 TFLOP/s — measured
+# f32 inference hits 52-65 TF/s, i.e. it saturates exactly this basis.
+# Round-2 reported f32 "utilization" against the 49 TF/s nominal-f32
+# number, which read as 1.33 (>1); this basis keeps every utilization
+# in [0, 1] and each bench row carries `peak_basis_tflops_per_s` so the
+# denominator is explicit.
+V5E_PEAK_TFLOPS = {"float32": 197.0 / 3.0, "bfloat16": 197.0}
+V5E_NOMINAL_F32_TFLOPS = 49.0  # classic dense-f32 spec number, for reference
 
 
 def conv_flops(h: int, w: int, cin: int, cout: int, k: int = 3) -> float:
@@ -104,9 +110,32 @@ def train_step_flops(
     return 3.0 * fwd
 
 
+def eval_step_flops(config: Dict[str, Any], batch: int, views: int, size: int) -> float:
+    """Validation step: SR forward + on-device 7x7 integer shift search.
+
+    The search evaluates 49 bias-corrected masked MSEs over the trimmed
+    (3*size - 2*border)^2 window (ops/metrics.py::shift_cpsnr); each
+    placement costs ~7 elementwise ops/pixel (diff, mask product, bias
+    reduction, centered square, masked sum). Elementwise (VPU) work, not
+    MXU — counted so the row's achieved-TFLOP/s is an honest total, with
+    the forward still dominating.
+    """
+    hr_trim = 3 * size - 2 * 3
+    search = batch * 49.0 * 7.0 * hr_trim * hr_trim
+    return hrnet_forward_flops(config, batch, views, size) + search
+
+
 def utilization(flops: float, seconds: float, dtype: str = "float32") -> Dict[str, float]:
-    if seconds <= 0:  # broken two-point slope (relay noise) — no fake numbers
-        return {"achieved_tflops_per_s": None, "mxu_utilization": None}
-    tflops = flops / seconds / 1e12
     peak = V5E_PEAK_TFLOPS.get(dtype, V5E_PEAK_TFLOPS["float32"])
-    return {"achieved_tflops_per_s": round(tflops, 2), "mxu_utilization": round(tflops / peak, 3)}
+    if seconds <= 0:  # broken two-point slope (relay noise) — no fake numbers
+        return {
+            "achieved_tflops_per_s": None,
+            "mxu_utilization": None,
+            "peak_basis_tflops_per_s": round(peak, 1),
+        }
+    tflops = flops / seconds / 1e12
+    return {
+        "achieved_tflops_per_s": round(tflops, 2),
+        "mxu_utilization": round(tflops / peak, 3),
+        "peak_basis_tflops_per_s": round(peak, 1),
+    }

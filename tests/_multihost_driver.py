@@ -49,11 +49,17 @@ CONFIG = {
         "register_size": 32,
         "val_proportion": 0.34,
         "lambda": 1e-6,
-        "num_epochs": 2,
+        # resume leg: phase B relaunches with HRN_TEST_EPOCHS=4 against the
+        # same run_dir and must continue from the phase-A checkpoint
+        "num_epochs": int(os.environ.get("HRN_TEST_EPOCHS", "2")),
         "n_workers": 1,
         "seed": 0,
         "shuffle": False,
-        "eval_batch_size": 1,
+        # > 1 so the SHARDED eval path runs across processes for real:
+        # global_from_replicated feeds (loop.py) + the replicate_out
+        # all-gather in the eval step — eval_batch_size=1 would fall back
+        # to the single-device eval the reference uses
+        "eval_batch_size": 2,
         "checkpoint_every": 0,
     },
     "paths": {"prefix": root, "checkpoint_dir": os.path.join(root, f"ckpt_{mode}"),
@@ -102,7 +108,8 @@ if mode == "single":
 
 tap = _EpochTap()
 sys.stdout = tap
-out = train_and_get_best_model(CONFIG, run_dir=os.path.join(root, f"run_{mode}"))
+run_dir = os.environ.get("HRN_TEST_RUN_DIR") or os.path.join(root, f"run_{mode}")
+out = train_and_get_best_model(CONFIG, run_dir=run_dir)
 sys.stdout = sys.__stdout__
 
 losses = []

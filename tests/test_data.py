@@ -285,3 +285,81 @@ def test_synth_hr_shift_offsets_only_the_hr(tmp_path):
                 best = max(best, c)
         return best
     assert best_corr(sa.hr, sb.hr) > 0.9
+
+
+def test_epoch_cache_replays_and_rotates(tmp_path):
+    """EpochCache: the building epoch streams live batches while writing;
+    later epochs replay the SAME collated arrays from mmap; n_variants
+    rotates distinct sampling realizations (v0, v1, v0, ...)."""
+    from highresnet_tpu.data.pipeline import BatchLoader, EpochCache
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+
+    root = tmp_path / "ec"
+    make_synthetic_dataset(str(root), n_scenes_per_channel=2, n_views=4, lr_size=24,
+                           seed=0, splits=("train",))
+    from highresnet_tpu.data.probav import discover_scenes
+
+    scenes = discover_scenes(str(root / "train"))
+    loader = BatchLoader(scenes, batch_size=2, min_l=3, top_k=3, beta=50.0,
+                         create_patches=True, patch_size=16, seed=0, num_workers=1)
+    cache = EpochCache(loader, str(tmp_path / "cache"), n_variants=2)
+    assert len(cache) == len(loader) and cache.num_scenes == 4
+
+    def pull():
+        return [b for b in cache]
+
+    e0, e1, e2, e3 = pull(), pull(), pull(), pull()
+    assert len(e0) == 2
+
+    # epoch 2 replays variant 0 byte-for-byte, epoch 3 replays variant 1
+    for a, b in ((e0, e2), (e1, e3)):
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(ba.lrs), np.asarray(bb.lrs))
+            np.testing.assert_array_equal(np.asarray(ba.hrs), np.asarray(bb.hrs))
+            assert tuple(ba.names) == tuple(bb.names)
+    # the two variants are distinct realizations (different patches/views)
+    assert not all(
+        np.array_equal(np.asarray(a.lrs), np.asarray(b.lrs)) for a, b in zip(e0, e1)
+    )
+    # replayed arrays are memory-mapped, not heap copies
+    assert isinstance(np.asarray(e2[0].lrs).base, np.memmap) or isinstance(
+        e2[0].lrs, np.memmap
+    ) or getattr(e2[0].lrs, "base", None) is not None
+
+
+def test_epoch_cache_in_train_loop(tmp_path):
+    """training.epoch_cache_variants wires the cache into the loop; a short
+    run completes and the cache directory holds the committed variants."""
+    import os
+
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    root = tmp_path / "ecloop"
+    make_synthetic_dataset(str(root), n_scenes_per_channel=2, n_views=5, lr_size=24,
+                           seed=0, splits=("train",))
+    cfg = {
+        "network": {
+            "encoder": {"in_channels": 2, "num_layers": 1, "kernel_size": 3, "channel_size": 8},
+            "recursive": {"alpha_residual": True, "in_channels": 8, "kernel_size": 3},
+            "decoder": {
+                "deconv": {"in_channels": 8, "kernel_size": 3, "stride": 3, "out_channels": 8},
+                "final": {"in_channels": 8, "kernel_size": 1, "out_channels": 1},
+            },
+        },
+        "training": {
+            "batch_size": 2, "min_L": 4, "n_views": 4, "crop": 1, "lr": 1e-3,
+            "lr_step": 2, "lr_decay": 0.97, "beta": 50.0, "create_patches": True,
+            "patch_size": 16, "register_size": 32, "val_proportion": 0.34,
+            "lambda": 1e-6, "num_epochs": 2, "n_workers": 1, "seed": 0,
+            "eval_batch_size": 2, "checkpoint_every": 0, "data_parallel": False,
+            "epoch_cache_variants": 1,
+        },
+        "paths": {"prefix": str(root), "checkpoint_dir": str(tmp_path / "ck"),
+                   "tb_log_file_dir": ""},
+    }
+    out = train_and_get_best_model(cfg)
+    assert np.isfinite(out["best_score"])
+    cache_root = os.path.join(str(root), ".epoch_cache")
+    variants = [f for d, _, fs in os.walk(cache_root) for f in fs if f.endswith(".meta.json")]
+    assert variants, "cache variants must have been committed"

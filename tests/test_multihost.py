@@ -58,41 +58,76 @@ def mh_root(tmp_path_factory):
     return str(root)
 
 
-@pytest.mark.slow
-def test_two_process_training_matches_single_controller(mh_root, tmp_path):
-    """2-process x 2-device distributed loop == 4-device single-controller
-    loop, epoch for epoch, and both processes agree on the outcome."""
-    port = _free_port()
-    outs = {k: str(tmp_path / f"{k}.json") for k in ("single", "p0", "p1")}
-
-    single = subprocess.Popen(
-        [sys.executable, DRIVER, "single", mh_root, outs["single"]],
-        env=_env(4), cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
+def _launch_pair(port, mh_root, out0, out1, epochs, run_dir=None):
+    """Start the 2-process distributed run (phase of `epochs` total)."""
     procs = []
-    for pid in (0, 1):
-        env = _env(
-            2,
-            {
-                "HRN_COORDINATOR": f"localhost:{port}",
-                "HRN_NUM_PROCESSES": "2",
-                "HRN_PROCESS_ID": str(pid),
-            },
-        )
+    for pid, out in ((0, out0), (1, out1)):
+        extra = {
+            "HRN_COORDINATOR": f"localhost:{port}",
+            "HRN_NUM_PROCESSES": "2",
+            "HRN_PROCESS_ID": str(pid),
+            "HRN_TEST_EPOCHS": str(epochs),
+        }
+        if run_dir:
+            extra["HRN_TEST_RUN_DIR"] = run_dir
+        env = _env(2, extra)
         procs.append(
             subprocess.Popen(
-                [sys.executable, DRIVER, "multi", mh_root, outs[f"p{pid}"]],
+                [sys.executable, DRIVER, "multi", mh_root, out],
                 env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
         )
+    return procs
 
-    logs = {}
-    logs["single"] = single.communicate(timeout=900)[0]
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_controller(mh_root, tmp_path):
+    """2-process x 2-device distributed loop == 4-device single-controller
+    loop, epoch for epoch, with the SHARDED eval path engaged
+    (eval_batch_size=2: global_from_replicated feeds + replicate_out
+    all-gather run across real processes); then a kill-restart leg: the
+    same 2-process run is stopped after epoch 2 and relaunched to epoch 4,
+    and the resumed trajectory must match the uninterrupted 4-epoch
+    single-controller run."""
+    port = _free_port()
+    outs = {k: str(tmp_path / f"{k}.json") for k in ("single", "p0", "p1", "r0", "r1")}
+
+    # uninterrupted oracle: 4 epochs, single controller
+    single = subprocess.Popen(
+        [sys.executable, DRIVER, "single", mh_root, outs["single"]],
+        env=_env(4, {"HRN_TEST_EPOCHS": "4"}), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    # phase A: distributed run that "dies" after epoch 2 (clean exit at
+    # num_epochs=2 with the final full-state checkpoint in the run dir —
+    # the same on-disk state a preempted-and-checkpointed run leaves)
+    procs = _launch_pair(port, mh_root, outs["p0"], outs["p1"], epochs=2)
+
+    logs = {"single": single.communicate(timeout=900)[0]}
     assert single.returncode == 0, logs["single"][-3000:]
     for pid, p in enumerate(procs):
         logs[f"p{pid}"] = p.communicate(timeout=900)[0]
         assert p.returncode == 0, logs[f"p{pid}"][-3000:]
+
+    # phase B: restart from the shared-storage run dir, continue to epoch 4
+    procs = _launch_pair(_free_port(), mh_root, outs["r0"], outs["r1"], epochs=4)
+    for pid, p in enumerate(procs):
+        logs[f"r{pid}"] = p.communicate(timeout=900)[0]
+        assert p.returncode == 0, logs[f"r{pid}"][-3000:]
+
+    # phase C: the resume ORACLE — an uninterrupted 4-epoch 2-process run in
+    # its own run dir (the single-controller run is a different device
+    # layout, so its trajectory drifts by reduction-order noise over steps;
+    # the resume check must be against the same layout)
+    outs["u0"], outs["u1"] = str(tmp_path / "u0.json"), str(tmp_path / "u1.json")
+    procs = _launch_pair(
+        _free_port(), mh_root, outs["u0"], outs["u1"], epochs=4,
+        run_dir=os.path.join(mh_root, "run_multi_uninterrupted"),
+    )
+    for pid, p in enumerate(procs):
+        logs[f"u{pid}"] = p.communicate(timeout=900)[0]
+        assert p.returncode == 0, logs[f"u{pid}"][-3000:]
 
     res = {k: json.load(open(v)) for k, v in outs.items()}
 
@@ -108,12 +143,28 @@ def test_two_process_training_matches_single_controller(mh_root, tmp_path):
     # distributed == single-controller, per epoch (and training actually
     # ran: a drop_last/short-shard regression would yield loss == 0.0)
     assert res["single"]["losses"][0] != 0.0
-    assert len(res["single"]["losses"]) == 2
+    assert len(res["single"]["losses"]) == 4
     assert len(res["p0"]["losses"]) == 2  # process 1 logs nothing (primary-only)
     assert res["p1"]["losses"] == []
-    np.testing.assert_allclose(res["p0"]["losses"], res["single"]["losses"], rtol=1e-5)
-    np.testing.assert_allclose(res["p0"]["vals"], res["single"]["vals"], rtol=1e-5)
-    assert res["p0"]["best_score"] == pytest.approx(res["single"]["best_score"], rel=1e-5)
+    np.testing.assert_allclose(res["p0"]["losses"], res["single"]["losses"][:2], rtol=1e-5)
+    np.testing.assert_allclose(res["p0"]["vals"], res["single"]["vals"][:2], rtol=1e-5)
+
+    # resumed phase B continued at epoch 3 and matches the UNINTERRUPTED
+    # 2-process oracle epoch for epoch (state, opt, scheduler, and RNG all
+    # restored correctly on BOTH processes from shared storage). Same
+    # layout, same reduction order => tight tolerance.
+    assert len(res["r0"]["losses"]) == 2
+    assert len(res["u0"]["losses"]) == 4
+    np.testing.assert_allclose(res["u0"]["losses"][:2], res["p0"]["losses"], rtol=1e-6)
+    np.testing.assert_allclose(res["r0"]["losses"], res["u0"]["losses"][2:], rtol=1e-6)
+    np.testing.assert_allclose(res["r0"]["vals"], res["u0"]["vals"][2:], rtol=1e-6)
+    assert res["r0"]["best_score"] == pytest.approx(res["u0"]["best_score"], rel=1e-6)
+    assert res["r0"]["best_score"] == pytest.approx(res["r1"]["best_score"], rel=1e-12)
+
+    # cross-layout (2-process vs single-controller) trajectories agree to
+    # reduction-order noise over 4 epochs
+    np.testing.assert_allclose(res["u0"]["losses"], res["single"]["losses"], rtol=5e-4)
+    np.testing.assert_allclose(res["u0"]["vals"], res["single"]["vals"], atol=5e-4)
 
     # only process 0 wrote checkpoints
     run_multi = res["p0"]["run_dir"]
