@@ -1,0 +1,168 @@
+"""HighRes-net+ ensemble with MEMBER PARITY (paper Table 1 protocol).
+
+The paper's leaderboard-best entry averages the SR outputs of two
+same-protocol models (paper txt:613-623). Round 2's attempt lost to the
+best single model because the members were unequal (an 8-view member and a
+late-overfit second seed, ENSEMBLE_REPORT.json). This runs the protocol
+properly: two seeds trained IDENTICALLY (same dataset, epochs, views, lr),
+each keeping its best-validation weights (the loop's built-in early-stop
+selection), then scores member A, member B, and the SR-average ensemble on
+the same held-out scenes.
+
+    python examples/ensemble_experiment.py [--epochs 250] [--seeds 0,1] \
+        [--out ENSEMBLE_REPORT.json]
+
+One TPU process at a time.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/hrn_ensemble_data")
+    ap.add_argument("--scenes-per-channel", type=int, default=300)
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--lr-size", type=int, default=48)
+    ap.add_argument("--detail", type=float, default=0.5)
+    ap.add_argument("--epochs", type=int, default=250)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--patch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=7e-4)
+    ap.add_argument("--seeds", default="0,1")
+    ap.add_argument("--val-proportion", type=float, default=0.1)
+    ap.add_argument("--max-scenes", type=int, default=40)
+    ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--out", default="ENSEMBLE_REPORT.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}")
+    import jax.numpy as jnp
+
+    from highresnet_tpu.config import load_config
+    from highresnet_tpu.data import collate, discover_scenes, read_imageset, train_val_split
+    from highresnet_tpu.data.synth import make_synthetic_dataset
+    from highresnet_tpu.models.hrnet import HRNet
+    from highresnet_tpu.ops.metrics import shift_cpsnr
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    if args.regen or not os.path.isdir(os.path.join(args.root, "train")):
+        import shutil
+
+        shutil.rmtree(args.root, ignore_errors=True)
+        make_synthetic_dataset(
+            args.root,
+            n_scenes_per_channel=args.scenes_per_channel,
+            n_views=args.views,
+            lr_size=args.lr_size,
+            seed=0,
+            splits=("train",),
+            write_norm_csv=False,
+            detail=args.detail,
+        )
+        print(f"dataset: {2 * args.scenes_per_channel} scenes at {args.root}", flush=True)
+        from highresnet_tpu.cli.pack_dataset import main as pack_main
+
+        pack_main(["--prefix", args.root])
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    members = {}
+    for seed in seeds:
+        config = load_config(
+            overrides={
+                "paths": {
+                    "prefix": args.root,
+                    "checkpoint_dir": os.path.join(args.root, f"ckpt_seed{seed}"),
+                    "tb_log_file_dir": "",
+                },
+                "training": {
+                    "num_epochs": args.epochs,
+                    "batch_size": args.batch,
+                    "n_views": args.views,
+                    "min_L": args.views,
+                    "patch_size": args.patch,
+                    "register_size": 2 * args.patch,
+                    "val_proportion": args.val_proportion,
+                    "eval_batch_size": 4,
+                    "checkpoint_every": 0,
+                    "lr": args.lr,
+                    "seed": seed,  # the ONLY difference between members
+                    "data_parallel": jax.device_count() > 1,
+                },
+            }
+        )
+        t0 = time.time()
+        out = train_and_get_best_model(config)
+        members[seed] = {
+            "params": out["params"]["hrnet"],
+            "best_val": float(out["best_score"]),
+            "train_seconds": round(time.time() - t0, 1),
+        }
+        print(f"[seed {seed}] best_val={out['best_score']:.3f} "
+              f"({members[seed]['train_seconds']:.0f}s)", flush=True)
+        net_config = config["network"]
+
+    hrnet = HRNet(config=net_config)
+    fwd = jax.jit(lambda p, lrs, al: hrnet.apply({"params": p}, lrs, al))
+
+    scenes = discover_scenes(os.path.join(args.root, "train"))
+    _, val = train_val_split(scenes, args.val_proportion, seed=1)
+    val = val[: args.max_scenes]
+
+    rows = []
+    for d in val:
+        s = read_imageset(d, top_k=args.views, beta=50.0)
+        batch = collate([s], args.views)
+        lrs, al = jnp.asarray(batch.lrs), jnp.asarray(batch.alphas)
+        srs = {seed: fwd(members[seed]["params"], lrs, al)[0] for seed in seeds}
+        ens = jnp.mean(jnp.stack(list(srs.values())), axis=0)
+        hr, hrm = jnp.asarray(s.hr), jnp.asarray(s.hr_map)
+        score = lambda img: float(shift_cpsnr(jnp.clip(img, 0, 1), hr, hrm))
+        row = {"scene": s.name, "ensemble": score(ens)}
+        for seed in seeds:
+            row[f"seed{seed}"] = score(srs[seed])
+        rows.append(row)
+
+    means = {k: float(np.mean([r[k] for r in rows])) for k in rows[0] if k != "scene"}
+    best_single_key = max((k for k in means if k != "ensemble"), key=means.get)
+    wins = sum(
+        r["ensemble"] > max(r[k] for k in means if k != "ensemble") for r in rows
+    )
+    report = {
+        "what": "HighRes-net+ SR-average ensemble with member parity (two identical-protocol seeds, best-val selection)",
+        "protocol": {
+            "scenes": 2 * args.scenes_per_channel,
+            "views": args.views,
+            "lr_size": args.lr_size,
+            "detail": args.detail,
+            "epochs": args.epochs,
+            "batch": args.batch,
+            "lr": args.lr,
+            "seeds": seeds,
+            "device": str(jax.devices()[0]),
+        },
+        "member_best_val": {str(s): members[s]["best_val"] for s in seeds},
+        "member_train_seconds": {str(s): members[s]["train_seconds"] for s in seeds},
+        "val_mean_shift_cpsnr": means,
+        "best_single": best_single_key,
+        "ensemble_minus_best_single_db": round(means["ensemble"] - means[best_single_key], 3),
+        "scenes_where_ensemble_beats_both": f"{wins}/{len(rows)}",
+        "per_scene": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "per_scene"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

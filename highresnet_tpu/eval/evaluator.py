@@ -163,11 +163,12 @@ def load_model(config: Dict[str, Any], checkpoint_dir: str):
     Checkpoints store the JOINT {'hrnet', 'shiftnet'} params plus ShiftNet
     batch stats (see train/checkpoint.py); inference needs the HRNet leg.
     """
+    from highresnet_tpu.models.hrnet import resolve_compute_dtypes
     from highresnet_tpu.models.shiftnet import ShiftNet
 
     t = config["training"]
-    dtype = jnp.bfloat16 if t.get("compute_dtype") == "bfloat16" else jnp.float32
-    hrnet = HRNet(config=config["network"], dtype=dtype)
+    dtype, decoder_dtype = resolve_compute_dtypes(t.get("compute_dtype"))
+    hrnet = HRNet(config=config["network"], dtype=dtype, decoder_dtype=decoder_dtype)
     shiftnet = ShiftNet()
     min_l = max(t["min_L"], 2)
     rs = t.get("register_size", 128)

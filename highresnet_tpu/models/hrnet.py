@@ -211,6 +211,10 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # honor the decoder's own compute dtype: under the "mixed" recipe
+        # the body runs bf16 and the decoder tail f32 (the cast adds no new
+        # error; it stops FURTHER rounding after this point)
+        x = x.astype(self.dtype)
         b, h, w, c = x.shape
         s = self.scale
         kernel = self.param(
@@ -253,6 +257,14 @@ class HRNet(nn.Module):
 
     config: Dict[str, Any] | None = None
     dtype: Any = jnp.float32
+    # decoder tail dtype; None = same as dtype. The "mixed" precision
+    # recipe (resolve_compute_dtypes) runs encoder+fusion in bf16 and the
+    # decoder in f32. Measured effect (PRECISION_ABLATION.json): ~13%
+    # lower output RMS than full bf16 — the rounding error is spread
+    # across ALL conv stages, so removing the decoder's share helps only
+    # marginally; see precision_ablation.py for why no bf16 island recipe
+    # can reach the 0.01 dB budget at 50 dB.
+    decoder_dtype: Any = None
 
     def setup(self):
         cfg = self.config or {}
@@ -280,7 +292,7 @@ class HRNet(nn.Module):
             out_channels=df.get("out_channels", 1),
             scale=dd.get("stride", 3),
             final_kernel=df.get("kernel_size", 1),
-            dtype=self.dtype,
+            dtype=self.decoder_dtype if self.decoder_dtype is not None else self.dtype,
         )
 
     def __call__(self, lrs: jax.Array, alphas: jax.Array) -> jax.Array:
@@ -300,3 +312,28 @@ class HRNet(nn.Module):
 
 def param_count(params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def resolve_compute_dtypes(compute_dtype: str | None):
+    """Map a config ``training.compute_dtype`` string to HRNet dtypes.
+
+    Returns (body_dtype, decoder_dtype):
+      "float32"/None -> (f32, f32)       scoring-grade (XLA executes f32
+                                         convs as 3-pass bf16 on the MXU)
+      "bfloat16"     -> (bf16, bf16)     fastest; ~0.5 dB cPSNR error at
+                                         ~50 dB output quality
+      "mixed"        -> (bf16, f32)      bf16 body + f32 decoder tail:
+                                         ~13% lower output error than plain
+                                         bf16 at ~bf16 speed (the decoder
+                                         is a small share of both FLOPs and
+                                         rounding; PRECISION_ABLATION.json)
+    """
+    if compute_dtype in (None, "float32"):
+        return jnp.float32, jnp.float32
+    if compute_dtype == "bfloat16":
+        return jnp.bfloat16, jnp.bfloat16
+    if compute_dtype == "mixed":
+        return jnp.bfloat16, jnp.float32
+    raise ValueError(
+        f"compute_dtype must be float32 | bfloat16 | mixed, got {compute_dtype!r}"
+    )

@@ -289,7 +289,9 @@ def train_and_get_best_model(
         loader = EpochCache(loader, cache_dir, n_variants=cache_variants)
 
     # --- models / state -------------------------------------------------------
-    dtype = jnp.bfloat16 if t.get("compute_dtype") == "bfloat16" else jnp.float32
+    from highresnet_tpu.models.hrnet import resolve_compute_dtypes
+
+    dtype, decoder_dtype = resolve_compute_dtypes(t.get("compute_dtype"))
     net_config = config["network"]
     if mesh is not None and net_config.get("recursive", {}).get("use_pallas_pack") is None:
         # a Pallas call cannot be auto-partitioned by the SPMD compiler, so
@@ -299,7 +301,7 @@ def train_and_get_best_model(
 
         net_config = _copy.deepcopy(net_config)
         net_config.setdefault("recursive", {})["use_pallas_pack"] = False
-    hrnet = HRNet(config=net_config, dtype=dtype)
+    hrnet = HRNet(config=net_config, dtype=dtype, decoder_dtype=decoder_dtype)
     shiftnet = ShiftNet(dtype=dtype)
     state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
 
@@ -406,6 +408,14 @@ def train_and_get_best_model(
     best = jax.device_get({"params": state.params, "batch_stats": state.batch_stats})
     steps_done = 0
     num_epochs = t["num_epochs"]
+    if restored is not None and start_epoch > num_epochs:
+        # fully-finished run restarted (e.g. a watchdog relaunch after the
+        # final epoch): the epoch loop won't execute, so serve the SAVED
+        # best weights rather than the final-epoch state
+        try:
+            best = ckpt.load_best(best)
+        except Exception:
+            pass  # no best saved (e.g. zero-epoch run); final state stands
 
     for epoch in range(start_epoch, num_epochs + 1):
         step_fn = (

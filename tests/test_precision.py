@@ -94,4 +94,59 @@ def test_scoring_path_is_f32():
     cfg = copy.deepcopy(DEFAULT_CONFIG)
     assert cfg["training"]["compute_dtype"] == "float32"
     src = inspect.getsource(load_model)
-    assert "bfloat16" in src and "compute_dtype" in src  # explicit opt-in only
+    # dtype comes from the config's compute_dtype through the shared
+    # resolver, whose default is (f32, f32) — bf16 is explicit opt-in only
+    assert "resolve_compute_dtypes" in src and "compute_dtype" in src
+    from highresnet_tpu.models.hrnet import resolve_compute_dtypes
+
+    assert resolve_compute_dtypes(cfg["training"]["compute_dtype"]) == (
+        jnp.float32,
+        jnp.float32,
+    )
+
+
+def test_mixed_recipe_reduces_bf16_error():
+    """compute_dtype="mixed" (bf16 body + f32 decoder) strictly reduces the
+    output deviation vs full bf16, and resolve_compute_dtypes maps the
+    config strings; a single input-side bf16 rounding alone already busts
+    the 0.01 dB budget at 50 dB (why no island recipe is scoring-grade —
+    PRECISION_ABLATION.json)."""
+    from highresnet_tpu.models.hrnet import resolve_compute_dtypes
+    from highresnet_tpu.ops.metrics import cpsnr as _cpsnr
+
+    assert resolve_compute_dtypes(None) == (jnp.float32, jnp.float32)
+    assert resolve_compute_dtypes("float32") == (jnp.float32, jnp.float32)
+    assert resolve_compute_dtypes("bfloat16") == (jnp.bfloat16, jnp.bfloat16)
+    assert resolve_compute_dtypes("mixed") == (jnp.bfloat16, jnp.float32)
+    with pytest.raises(ValueError, match="compute_dtype"):
+        resolve_compute_dtypes("fp8")
+
+    rng = np.random.default_rng(0)
+    lrs = jnp.asarray(rng.random((2, 8, 16, 16)), jnp.float32)
+    alphas = jnp.ones((2, 8), jnp.float32)
+    f32 = HRNet(config=DEFAULT_CONFIG["network"], dtype=jnp.float32)
+    params = jax.jit(f32.init)(jax.random.PRNGKey(0), lrs, alphas)["params"]
+
+    def fwd(model, x=lrs):
+        return np.asarray(
+            jax.jit(lambda p, x, a: model.apply({"params": p}, x, a))(params, x, alphas)
+        )
+
+    sr32 = fwd(f32)
+    sr16 = fwd(HRNet(config=DEFAULT_CONFIG["network"], dtype=jnp.bfloat16))
+    srmx = fwd(HRNet(config=DEFAULT_CONFIG["network"], dtype=jnp.bfloat16,
+                     decoder_dtype=jnp.float32))
+    rms = lambda a: float(np.sqrt(np.mean((a - sr32) ** 2)))
+    assert rms(srmx) < rms(sr16), (rms(srmx), rms(sr16))
+
+    # impossibility pin: ONE bf16 rounding (inputs), f32 everywhere after,
+    # still exceeds the 0.01 dB parity budget at a 50 dB operating point
+    srq = fwd(f32, lrs.astype(jnp.bfloat16).astype(jnp.float32))
+    lo, hi = sr32.min(), sr32.max()
+    norm = lambda z: (z - lo) / (hi - lo) * 0.8 + 0.1
+    noise = np.random.default_rng(1).normal(scale=10 ** (-50.0 / 20.0), size=sr32.shape)
+    hr = jnp.asarray(norm(sr32) + noise, jnp.float32)
+    ones = jnp.ones(hr.shape, jnp.float32)
+    d = np.max(np.abs(np.asarray(_cpsnr(jnp.asarray(norm(sr32)), hr, ones))
+                      - np.asarray(_cpsnr(jnp.asarray(norm(srq)), hr, ones))))
+    assert d > 0.01, f"single-rounding floor {d} dB should exceed the parity budget"
