@@ -141,7 +141,10 @@ def main():
         "register_size": 2 * args.patch,
         "val_proportion": args.val_proportion,
         "eval_batch_size": 4,
-        "checkpoint_every": 0,
+        # periodic full-state checkpoints + a stable per-arm run_dir: a
+        # killed/stalled run (the TPU relay can wedge) resumes mid-arm
+        # instead of restarting from scratch
+        "checkpoint_every": 25,
         "lr": args.lr,
         "data_parallel": jax.device_count() > 1,
     }
@@ -161,7 +164,9 @@ def main():
             }
         )
         t0 = time.time()
-        out = train_and_get_best_model(config)
+        out = train_and_get_best_model(
+            config, run_dir=os.path.join(args.root, f"ckpt_{arm}", "run")
+        )
         train_s = time.time() - t0
         print(f"[{arm}] trained in {train_s:.0f}s; best={out['best_score']:.3f}", flush=True)
 
