@@ -1,0 +1,185 @@
+"""Capture an on-chip jax.profiler trace of the FULL train step.
+
+Round 2 checked in forward-only traces (docs/traces/{bf16,f32}_forward/);
+the train step (backward, Pallas unpack VJP, ShiftNet BN, Lanczos warp
+VJP, Adam) had never been profiled even though the bf16 training
+projection rides on it. This captures N steps of the bench-shaped
+registered train step, writes the raw Perfetto trace under docs/traces/,
+and emits a per-op device-time summary whose total must reconcile with the
+enqueue-slope bench row (BENCH_DETAILS.json train_step).
+
+    python examples/trace_train_step.py [--dtype bfloat16] [--steps 5] \
+        [--out-dir docs/traces/bf16_train] [--summary TRACE_BF16_TRAIN_SUMMARY.json]
+
+One TPU process at a time.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def summarize_chrome_trace(path: str, steps: int):
+    """Per-op device-time table from a Chrome-format trace (trace.json.gz).
+
+    Device (TPU) tracks are identified by their process metadata name; op
+    events are complete events ("ph" == "X") with microsecond durations.
+    """
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data["traceEvents"] if isinstance(data, dict) else data
+    pid_names = {}
+    op_tracks = set()  # (pid, tid) of "XLA Ops" threads on device processes
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    device_pids = {
+        pid for pid, name in pid_names.items()
+        if "TPU" in name or "tpu" in name or "/device" in name.lower()
+    }
+    for e in events:
+        if (
+            e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e.get("pid") in device_pids
+            and e["args"].get("name") == "XLA Ops"
+        ):
+            op_tracks.add((e["pid"], e["tid"]))
+    per_op = defaultdict(lambda: [0.0, 0])
+    total_us = 0.0
+    for e in events:
+        # only the "XLA Ops" track: the "XLA Modules" track holds one
+        # whole-program event per step that would double-count everything
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tracks:
+            name = e.get("name", "?")
+            dur = float(e.get("dur", 0.0))
+            per_op[name][0] += dur
+            per_op[name][1] += 1
+            total_us += dur
+    rows = sorted(per_op.items(), key=lambda kv: -kv[1][0])
+    top = [
+        {
+            "op": name,
+            "us_per_step": round(us / steps, 1),
+            "count_per_step": count // steps,
+            "pct": round(100.0 * us / total_us, 2) if total_us else 0.0,
+        }
+        for name, (us, count) in rows[:25]
+    ]
+    return total_us / steps / 1000.0, top
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--views", type=int, default=32)
+    ap.add_argument("--patch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--summary", default=None)
+    args = ap.parse_args()
+    short = "bf16" if args.dtype == "bfloat16" else "f32"
+    out_dir = args.out_dir or f"docs/traces/{short}_train"
+    summary_path = args.summary or f"TRACE_{short.upper()}_TRAIN_SUMMARY.json"
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}")
+    import jax.numpy as jnp
+
+    from highresnet_tpu.config import DEFAULT_CONFIG, load_config
+    from highresnet_tpu.models.hrnet import HRNet
+    from highresnet_tpu.models.shiftnet import ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    config = load_config(
+        overrides={
+            "training": {
+                "batch_size": args.batch,
+                "n_views": args.views,
+                "min_L": args.views,
+                "patch_size": args.patch,
+            }
+        }
+    )
+    hrnet = HRNet(config=config["network"], dtype=dtype)
+    shiftnet = ShiftNet(dtype=dtype)
+    state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(0))
+    step = build_train_step(hrnet, shiftnet, config)
+
+    rng = np.random.default_rng(0)
+    b, l, p = args.batch, args.views, args.patch
+    argsd = (
+        jnp.asarray(rng.random((b, l, p, p)), jnp.float32),
+        jnp.ones((b, l), jnp.float32),
+        jnp.asarray(rng.random((b, 3 * p, 3 * p)), jnp.float32),
+        jnp.ones((b, 3 * p, 3 * p), jnp.float32),
+    )
+
+    t0 = time.perf_counter()
+    state, m = step(state, *argsd)
+    float(m["loss"])  # force
+    print(f"compiled in {time.perf_counter() - t0:.1f}s", flush=True)
+    for _ in range(2):  # warm
+        state, m = step(state, *argsd)
+    float(m["loss"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = "/tmp/jax_trace_train"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    with jax.profiler.trace(tmp):
+        for _ in range(args.steps):
+            state, m = step(state, *argsd)
+        float(m["loss"])  # sync inside the trace window
+    print("trace captured", flush=True)
+
+    # collect the trace files (plugins/profile/<run>/*)
+    produced = glob.glob(os.path.join(tmp, "plugins/profile/*/*"))
+    for f in produced:
+        base = os.path.basename(f)
+        # keep the chrome trace + xplane, drop hostnames from filenames
+        for key in ("trace.json.gz", "xplane.pb"):
+            if base.endswith(key):
+                shutil.copy(f, os.path.join(out_dir, "vm." + key))
+    trace_json = os.path.join(out_dir, "vm.trace.json.gz")
+    device_ms, top = summarize_chrome_trace(trace_json, args.steps)
+
+    summary = {
+        "device": str(jax.devices()[0]),
+        "program": (
+            f"{args.dtype} registered train step (fwd+bwd+Adam), batch {b}, "
+            f"{l} views, {p}px patches, {args.steps} steps traced"
+        ),
+        "note": (
+            "captured with jax.profiler through the relay; op times are "
+            "device-track XLA thunks. Total should reconcile with the "
+            "enqueue-slope bench train_step row (BENCH_DETAILS.json). "
+            f"Raw trace: {out_dir}/"
+        ),
+        "device_ms_per_step": round(device_ms, 3),
+        "top_ops": top,
+    }
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "top_ops"}, indent=2))
+    print("top 8 ops:")
+    for row in top[:8]:
+        print(f"  {row['op']:<28} {row['us_per_step']:>9.1f} us/step  {row['pct']:>5.2f}%")
+
+
+if __name__ == "__main__":
+    main()
