@@ -94,7 +94,8 @@ def main():
                     "register_size": 2 * args.patch,
                     "val_proportion": args.val_proportion,
                     "eval_batch_size": 4,
-                    "checkpoint_every": 0,
+                    # resumable under the stall-watchdog (wedgy TPU relay)
+                    "checkpoint_every": 25,
                     "lr": args.lr,
                     "seed": seed,  # the ONLY difference between members
                     "data_parallel": jax.device_count() > 1,
@@ -102,7 +103,9 @@ def main():
             }
         )
         t0 = time.time()
-        out = train_and_get_best_model(config)
+        out = train_and_get_best_model(
+            config, run_dir=os.path.join(args.root, f"ckpt_seed{seed}", "run")
+        )
         members[seed] = {
             "params": out["params"]["hrnet"],
             "best_val": float(out["best_score"]),
