@@ -372,8 +372,11 @@ def test_mesh_training_rounds_eval_batch_and_pins_xla_pack(train_root, tmp_path)
     from highresnet_tpu.train.loop import train_and_get_best_model
 
     cfg = _tiny_config(train_root, tmp_path)
-    cfg["training"]["batch_size"] = jax.device_count()
-    cfg["training"]["eval_batch_size"] = jax.device_count() - 1  # not divisible
+    # batch_size must fit the 2 train scenes (the loop now fails fast when
+    # a meshed run cannot form one full batch); a 2-device data mesh still
+    # engages the sharded paths
+    cfg["training"]["batch_size"] = 2
+    cfg["training"]["eval_batch_size"] = 3  # not a device multiple -> rounds up
     cfg["training"]["data_parallel"] = True
     out = train_and_get_best_model(cfg, run_dir=str(tmp_path / "run_mesh"))
     assert np.isfinite(out["best_score"])
