@@ -65,17 +65,32 @@ class _JittedForward:
 
 class _EnsembleForward:
     """Average the SR outputs of several weight sets (HighRes-net+ protocol:
-    the paper's best entry ensembles two models; paper Table 1)."""
+    the paper's best entry ensembles two models; paper Table 1).
 
-    def __init__(self, hrnet: HRNet, params_list):
+    With ``register=True`` (default) every member's SR is first translated
+    onto the first member's output frame (PCC shift estimate + Lanczos
+    warp) before averaging. This matters: the shift-invariant cPSNR
+    objective never pins a model's absolute output frame, so independently
+    trained members converge to frames offset by O(1 px) from each other,
+    and averaging raw outputs superimposes mutually shifted sharp images —
+    i.e. blur (measured: ~2 px seed-to-seed offset with ~0.3 px std, and a
+    -0.65 dB naive-ensemble loss, ENSEMBLE_REPORT.json)."""
+
+    def __init__(self, hrnet: HRNet, params_list, register: bool = True):
         self.hrnet = hrnet
         self.params_list = list(params_list)
-        self._fn = jax.jit(
-            lambda ps, lrs, alphas: jnp.mean(
-                jnp.stack([self.hrnet.apply({"params": p}, lrs, alphas) for p in ps]),
-                axis=0,
-            )
-        )
+        self.register = register
+
+        def run(ps, lrs, alphas):
+            srs = [self.hrnet.apply({"params": p}, lrs, alphas) for p in ps]
+            if register and len(srs) > 1:
+                from highresnet_tpu.registration.search import pcc_align_batch
+
+                anchor = srs[0]
+                srs = [anchor] + [pcc_align_batch(anchor, sr)[0] for sr in srs[1:]]
+            return jnp.mean(jnp.stack(srs), axis=0)
+
+        self._fn = jax.jit(run)
 
     def __call__(self, lrs: np.ndarray, alphas: np.ndarray) -> np.ndarray:
         return np.asarray(self._fn(self.params_list, jnp.asarray(lrs), jnp.asarray(alphas)))
@@ -283,14 +298,18 @@ class Model:
         self.hrnet = HRNet(config=self.config["network"])
         self.forward = _JittedForward(self.hrnet, params)
 
-    def load_ensemble(self, checkpoint_dirs):
+    def load_ensemble(self, checkpoint_dirs, register: bool = True):
         """HighRes-net+ style inference: average SR over several trained
-        models (the paper's leaderboard-best used a 2-model ensemble)."""
+        models (the paper's leaderboard-best used a 2-model ensemble).
+
+        ``register=True`` aligns every member to the first member's output
+        frame before averaging (see _EnsembleForward) — pass the strongest
+        member first. ``register=False`` is the naive raw average."""
         params_list = []
         for d in checkpoint_dirs:
             self.hrnet, params = load_model(self.config, d)
             params_list.append(params)
-        self.forward = _EnsembleForward(self.hrnet, params_list)
+        self.forward = _EnsembleForward(self.hrnet, params_list, register=register)
 
     def __call__(self, imset, registered: bool = False):
         return get_sr_and_score(

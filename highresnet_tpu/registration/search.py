@@ -325,6 +325,42 @@ def compute_shift_pcc(ref_image, shifted_image, ref_mask=None, shifted_mask=None
     return float(dy), float(dx)
 
 
+@partial(jax.jit, static_argnames=("upsample_factor",))
+def pcc_align_batch(ref, mov, upsample_factor: int = 100):
+    """Translate each ``mov[b]`` onto ``ref[b]`` (PCC estimate + Lanczos warp).
+
+    ``_pcc(ref, mov)`` returns d with ``mov(i) == ref(i + d)``; shifting mov
+    by ``-d`` (lanczos_shift convention: out(i) = in(i + s)) lands it on
+    ref's pixel grid. Used by the registered ensemble: independently trained
+    HRNet members converge to output frames offset by O(1 px) from each
+    other (the shift-invariant cPSNR objective never pins the absolute
+    frame; ENSEMBLE_REPORT.json measured seed-to-seed offsets of ~2 px with
+    ~0.3 px scene-to-scene std), so averaging raw member outputs blurs.
+
+    Args:
+      ref: (B, H, W) anchor images.
+      mov: (B, H, W) images to align.
+      upsample_factor: sub-pixel resolution of the DFT zoom (1/factor px).
+
+    Returns:
+      (aligned, d): the warped mov stack and the (B, 2) estimated (dy, dx).
+    """
+    from highresnet_tpu.ops.lanczos import lanczos_shift
+
+    ref = jnp.asarray(ref, jnp.float32)
+    mov = jnp.asarray(mov, jnp.float32)
+    # Hann-window before the FFT: these are NON-circular shifts of bounded
+    # images, and the wrap-around discontinuity corrupts the whitened phase
+    # badly enough to bias sub-pixel estimates by >0.3 px on smooth imagery
+    # (measured). compute_shift_pcc keeps the un-windowed reference
+    # behavior; this path needs the accuracy.
+    h, w = ref.shape[-2:]
+    win = jnp.hanning(h)[:, None] * jnp.hanning(w)[None, :]
+    prep = lambda im: (im - im.mean(axis=(-2, -1), keepdims=True)) * win
+    d = jax.vmap(partial(_pcc, upsample_factor=upsample_factor))(prep(ref), prep(mov))
+    return lanczos_shift(mov, -d), d
+
+
 def compute_shift_point_matching(
     ref_image,
     tmplt_image,

@@ -108,11 +108,18 @@ def test_ensemble_forward(eval_env, tmp_path):
     lrs = rng.random((2, 4, 16, 16)).astype(np.float32)
     alphas = np.ones((2, 4), np.float32)
 
-    ens = _EnsembleForward(hrnet, [v1["params"], v2["params"]])
+    ens = _EnsembleForward(hrnet, [v1["params"], v2["params"]], register=False)
     got = ens(lrs, alphas)
     a = hrnet.apply(v1, jnp.asarray(lrs), jnp.asarray(alphas))
     b = hrnet.apply(v2, jnp.asarray(lrs), jnp.asarray(alphas))
     np.testing.assert_allclose(got, np.asarray((a + b) / 2), atol=1e-6)
+
+    # registered (default) path: aligning a member to itself is a no-op
+    # (PCC shift estimate ~0, Lanczos warp at ~0 is identity), so a
+    # same-params ensemble must reproduce the single-member SR
+    reg = _EnsembleForward(hrnet, [v1["params"], v1["params"]])
+    got_reg = reg(lrs, alphas)
+    np.testing.assert_allclose(got_reg, np.asarray(a), atol=1e-4)
 
 
 def test_registered_eval(eval_env, tmp_path):
