@@ -109,6 +109,10 @@ def main():
                 },
             }
         )
+        # keep the log fresh: restore+compile of a finished run can sit
+        # silent for minutes, which a stall-watchdog would misread as a
+        # relay wedge
+        print(f"[seed {seed}] restoring or training...", flush=True)
         t0 = time.time()
         out = train_and_get_best_model(
             config, run_dir=os.path.join(args.root, f"ckpt_seed{seed}", "run")
@@ -170,10 +174,12 @@ def main():
         rows.append(row)
 
     means = {k: float(np.mean([r[k] for r in rows])) for k in rows[0] if k != "scene"}
-    # headline = REGISTERED ensemble of the val-selected pair: members are
-    # PCC-aligned to a common output frame before averaging (naive raw
-    # averaging superimposes mutually-offset sharp frames, i.e. blur)
-    ens_key = f"rens{val_pair[0]}{val_pair[1]}"
+    # headline = REGISTERED all-member ensemble: members are PCC-aligned to
+    # the anchor's output frame before averaging (naive raw averaging
+    # superimposes mutually-offset sharp frames, i.e. blur). Using every
+    # trained member is a fixed protocol — no subset selection at all; the
+    # val-selected 2-model pair (the paper's exact recipe) is also reported.
+    ens_key = "rens_all" if len(seeds) > 2 else f"rens{val_pair[0]}{val_pair[1]}"
     means["ensemble"] = means[ens_key]
     best_single_key = max((k for k in means if k.startswith("seed")), key=means.get)
     wins = sum(

@@ -14,7 +14,22 @@ import os
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", default="configs/config.json")
-    parser.add_argument("--checkpoint", required=True, help="run dir containing best/")
+    parser.add_argument(
+        "--checkpoint",
+        required=True,
+        nargs="+",
+        help="run dir containing best/; pass several for HighRes-net+ "
+        "ensemble inference (members are PCC-registered to the first "
+        "checkpoint's output frame before averaging — list the strongest "
+        "model first)",
+    )
+    parser.add_argument(
+        "--no-ensemble-registration",
+        action="store_true",
+        help="ensemble only: average raw member outputs without aligning "
+        "them first (loses ~0.1-0.7 dB to inter-member frame offsets; see "
+        "ENSEMBLE_REPORT.json)",
+    )
     parser.add_argument("--submission", default=None, help="write submission zip here")
     parser.add_argument("--splits", nargs="*", default=["val"], choices=["train", "val", "test"])
     parser.add_argument("--top-k", type=int, default=-1)
@@ -33,10 +48,17 @@ def main(argv=None):
     config = load_config(args.config)
     train_ds, val_ds, test_ds, baseline = load_data(args.config, top_k=args.top_k)
     model = Model(config)
-    if args.registered:
-        model.load_checkpoint_with_shiftnet(args.checkpoint)
+    if len(args.checkpoint) > 1:
+        if args.registered:
+            parser.error("--registered (ShiftNet-registered scoring) is not "
+                         "supported with ensemble inference")
+        model.load_ensemble(
+            args.checkpoint, register=not args.no_ensemble_registration
+        )
+    elif args.registered:
+        model.load_checkpoint_with_shiftnet(args.checkpoint[0])
     else:
-        model.load_checkpoint(args.checkpoint)
+        model.load_checkpoint(args.checkpoint[0])
 
     datasets = {"train": train_ds, "val": val_ds, "test": test_ds}
     selected = {s: datasets[s] for s in args.splits}

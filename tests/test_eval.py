@@ -122,6 +122,43 @@ def test_ensemble_forward(eval_env, tmp_path):
     np.testing.assert_allclose(got_reg, np.asarray(a), atol=1e-4)
 
 
+def test_predict_cli_ensemble(eval_env, tmp_path, capsys):
+    """predict CLI accepts several --checkpoint run dirs and runs the
+    registered-ensemble path end to end (val split scoring)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from highresnet_tpu.cli.predict import main as predict_main
+    from highresnet_tpu.models import HRNet
+    from highresnet_tpu.train.checkpoint import CheckpointManager
+
+    root, config, model = eval_env
+    hrnet = HRNet(config=TINY_NET)
+    dirs = []
+    for i in (1, 2):
+        v = hrnet.init(jax.random.PRNGKey(i), jnp.zeros((1, 4, 16, 16)), jnp.ones((1, 4)))
+        d = str(tmp_path / f"ckpt{i}")
+        cm = CheckpointManager(d)
+        cm.save_best(v["params"], {}, score=-10.0 - i)
+        cm.wait()
+        dirs.append(d)
+
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"paths": {"prefix": str(root)},
+                   "network": TINY_NET,
+                   "training": {"min_L": 4, "patch_size": 16}}, f)
+
+    predict_main(["--config", cfg_path, "--checkpoint", *dirs, "--splits", "val"])
+    out = capsys.readouterr().out
+    assert "model" in out  # benchmark table printed
+
+    # --registered + ensemble is a config error, not a crash downstream
+    with pytest.raises(SystemExit):
+        predict_main(["--config", cfg_path, "--checkpoint", *dirs, "--registered"])
+
+
 def test_registered_eval(eval_env, tmp_path):
     """ShiftNet-registered scoring (config #2): loads joint checkpoint,
     warps SR by the predicted shift before the cPSNR shift search."""
