@@ -143,8 +143,10 @@ def main():
 
     from highresnet_tpu.registration.search import pcc_align_batch
 
+    anchor = sorted(seeds, key=lambda s_: members[s_]["best_val"])[0]
     rows = []
     offsets = {k: [] for k in pair_keys}
+    scene_data = []  # per-scene anchor-frame member stacks for the stacker
     for d in val:
         s = read_imageset(d, top_k=args.views, beta=50.0)
         batch = collate([s], args.views)
@@ -163,15 +165,78 @@ def main():
             aligned, dyx = pcc_align_batch(srs[a0][None], srs[b0][None])
             offsets[(a, b)].append([float(v) for v in np.asarray(dyx[0])])
             row[f"rens{a}{b}"] = score((srs[a0] + aligned[0]) / 2.0)
+        # every member in the anchor's output frame (anchor stays pristine)
+        stack = jnp.stack([srs[anchor]] + [
+            pcc_align_batch(srs[anchor][None], srs[s_][None])[0][0]
+            for s_ in seeds if s_ != anchor
+        ])
         if len(seeds) > 2:
             row["ens_all"] = score(jnp.mean(jnp.stack(list(srs.values())), axis=0))
-            anchor = sorted(seeds, key=lambda s_: members[s_]["best_val"])[0]
-            stack = [srs[anchor]] + [
-                pcc_align_batch(srs[anchor][None], srs[s_][None])[0][0]
-                for s_ in seeds if s_ != anchor
-            ]
-            row["rens_all"] = score(jnp.mean(jnp.stack(stack), axis=0))
+            row["rens_all"] = score(jnp.mean(stack, axis=0))
+        scene_data.append((np.asarray(stack), np.asarray(hr), np.asarray(hrm)))
         rows.append(row)
+
+    # ---- stacked (least-squares weighted) registered ensemble -----------
+    # Equal weights lose whenever one member dominates (a 0.7 dB-stronger
+    # seed makes the average WORSE than it alone). Fit global combination
+    # weights by ridgeless least squares on HALF the scenes (even indices)
+    # and score on the other half — weights never see their test scenes.
+    # Members are in the anchor frame; the target HR is PCC-aligned into
+    # that frame per scene; per-image means are removed (cPSNR's bias
+    # term) and the warp's edge band is cropped.
+    k, c = len(seeds), 8
+    member_order = [anchor] + [s_ for s_ in seeds if s_ != anchor]
+    G, rhs = np.zeros((k, k)), np.zeros(k)
+    for stack, hr, hrm in scene_data[0::2]:
+        hr_a = np.asarray(pcc_align_batch(stack[:1], hr[None])[0][0])
+        X = stack[:, c:-c, c:-c].reshape(k, -1)
+        m = hrm[c:-c, c:-c].reshape(-1) > 0
+        X = X[:, m] - X[:, m].mean(axis=1, keepdims=True)
+        y = hr_a[c:-c, c:-c].reshape(-1)[m]
+        y = y - y.mean()
+        G += X @ X.T
+        rhs += X @ y
+    w = np.linalg.solve(G, rhs)
+    stack_weights = {f"seed{s_}": round(float(wi), 4)
+                     for s_, wi in zip(member_order, w)}
+
+    def half_means(idxs):
+        out = {f"seed{s_}": float(np.mean([rows[i][f"seed{s_}"] for i in idxs]))
+               for s_ in seeds}
+        if len(seeds) > 2:
+            out["rens_all"] = float(np.mean([rows[i]["rens_all"] for i in idxs]))
+        stacked_scores = []
+        for i in idxs:
+            stack, hr, hrm = scene_data[i]
+            img = jnp.einsum("k,khw->hw", jnp.asarray(w), jnp.asarray(stack))
+            stacked_scores.append(float(shift_cpsnr(
+                jnp.clip(img, 0.0, 1.0), jnp.asarray(hr), jnp.asarray(hrm))))
+        out["stacked"] = float(np.mean(stacked_scores))
+        return out
+
+    fit_idx = list(range(0, len(rows), 2))
+    test_idx = list(range(1, len(rows), 2))
+    fit, test = half_means(fit_idx), half_means(test_idx)
+    best_test_single = max((v for k_, v in test.items() if k_.startswith("seed")))
+    # deployment rule: pick the best candidate (any single member, the
+    # registered equal-weight ensemble, or the stacked ensemble) on the FIT
+    # half, ship it, report its score on the unseen test half. The rule can
+    # never systematically lose to "always ship the best-val member" and
+    # picks the ensemble exactly when members are close enough for
+    # averaging to pay.
+    selected = max(fit, key=fit.get)
+    stacking = {
+        "protocol": "weights fit on even-index scenes (ridgeless LS, anchor-frame stacks, HR PCC-aligned, mean-centered, 8px edge crop); scored on odd-index scenes the weights never saw",
+        "weights": stack_weights,
+        "n_fit_scenes": len(fit_idx),
+        "n_test_scenes": len(test_idx),
+        "fit_half_mean_shift_cpsnr": {k_: round(v, 4) for k_, v in fit.items()},
+        "test_half_mean_shift_cpsnr": {k_: round(v, 4) for k_, v in test.items()},
+        "stacked_minus_best_single_db": round(test["stacked"] - best_test_single, 3),
+        "selected_on_fit_half": selected,
+        "selected_test_score": round(test[selected], 4),
+        "selected_minus_best_single_db": round(test[selected] - best_test_single, 3),
+    }
 
     means = {k: float(np.mean([r[k] for r in rows])) for k in rows[0] if k != "scene"}
     # headline = REGISTERED all-member ensemble: members are PCC-aligned to
@@ -200,6 +265,7 @@ def main():
             "before averaging, ens* = naive raw average"
         ),
         "inter_member_output_offsets_px": off_stats,
+        "stacking": stacking,
         "ensemble_members_selected_by_val": list(val_pair),
         "protocol": {
             "scenes": 2 * args.scenes_per_channel,
