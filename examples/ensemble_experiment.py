@@ -48,6 +48,14 @@ def main():
     ap.add_argument("--val-proportion", type=float, default=0.1)
     ap.add_argument("--max-scenes", type=int, default=40)
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument(
+        "--fresh-test-seed", type=int, default=None,
+        help="evaluate on a FRESH synthetic dataset generated with this "
+        "seed (same protocol, never seen by any member or by training-time "
+        "validation) instead of the shared val split",
+    )
+    ap.add_argument("--fresh-test-scenes", type=int, default=100,
+                    help="scenes per channel for the fresh test set")
     ap.add_argument("--out", default="ENSEMBLE_REPORT.json")
     args = ap.parse_args()
 
@@ -129,9 +137,26 @@ def main():
     hrnet = HRNet(config=net_config)
     fwd = jax.jit(lambda p, lrs, al: hrnet.apply({"params": p}, lrs, al))
 
-    scenes = discover_scenes(os.path.join(args.root, "train"))
-    _, val = train_val_split(scenes, args.val_proportion, seed=1)
-    val = val[: args.max_scenes]
+    if args.fresh_test_seed is not None:
+        fresh_root = os.path.join(args.root, f"fresh_test_{args.fresh_test_seed}")
+        if not os.path.isdir(os.path.join(fresh_root, "train")):
+            make_synthetic_dataset(
+                fresh_root,
+                n_scenes_per_channel=args.fresh_test_scenes,
+                n_views=args.views,
+                lr_size=args.lr_size,
+                seed=args.fresh_test_seed,
+                splits=("train",),
+                write_norm_csv=False,
+                detail=args.detail,
+            )
+            print(f"fresh test set: {2 * args.fresh_test_scenes} scenes at "
+                  f"{fresh_root}", flush=True)
+        val = discover_scenes(os.path.join(fresh_root, "train"))[: args.max_scenes]
+    else:
+        scenes = discover_scenes(os.path.join(args.root, "train"))
+        _, val = train_val_split(scenes, args.val_proportion, seed=1)
+        val = val[: args.max_scenes]
 
     # the paper ensembles TWO models; with >2 trained seeds the pair is
     # chosen by VALIDATION score (members[seed]["best_val"], lower=better
@@ -268,6 +293,13 @@ def main():
         "stacking": stacking,
         "ensemble_members_selected_by_val": list(val_pair),
         "protocol": {
+            "eval_set": (
+                f"fresh synthetic dataset, generator seed {args.fresh_test_seed} "
+                "(never seen by any member or by training-time validation)"
+                if args.fresh_test_seed is not None
+                else "shared val split (train_val_split seed=1)"
+            ),
+            "n_eval_scenes": len(val),
             "scenes": 2 * args.scenes_per_channel,
             "views": args.views,
             "lr_size": args.lr_size,
