@@ -64,6 +64,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # full-resumable-state save period in epochs; 1 = every epoch,
         # 0 = best-weights only during the run + one final state save
         "checkpoint_every": 1,
+        # global-norm gradient clip; 0 disables (reference-exact bare Adam,
+        # src/train.py:252). An unlucky init can diverge from epoch 1 at
+        # the paper-scale protocol (observed: seed 1, loss -> ~1e23-output
+        # territory while healthy seeds reach 16 dB); set ~1.0 to rescue.
+        "grad_clip_norm": 0.0,
     },
 }
 

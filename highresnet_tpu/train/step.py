@@ -133,7 +133,7 @@ def build_train_step(
     offset = (3 * patch - register_size) // 2
     assert offset >= 0 or not register, "3*patch_size must cover the registration crop"
     border_mask = jnp.asarray(crop_mask(patch, t["crop"]))
-    tx = make_optimizer(t["lr"])
+    tx = make_optimizer(t["lr"], t.get("grad_clip_norm", 0.0))
 
     def loss_fn(params, batch_stats, dropout_rng, lrs, alphas, hrs, hr_maps):
         srs = hrnet.apply({"params": params["hrnet"]}, lrs, alphas)

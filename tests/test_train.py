@@ -130,6 +130,57 @@ def test_train_step_descends(train_root, tmp_path):
     assert int(state.step) == 8
 
 
+def test_train_step_grad_clip(train_root, tmp_path):
+    """training.grad_clip_norm bounds the global update norm (divergence
+    rescue for unlucky seeds at scale) and keeps the scheduler's mutable
+    learning rate working through the chained optimizer."""
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["grad_clip_norm"] = 1e-4  # absurdly tight on purpose
+    scenes = discover_scenes(f"{train_root}/train")
+    loader = BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )
+    batch = next(iter(loader))
+
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
+    step = build_train_step(hrnet, shiftnet, cfg)
+
+    before = jax.tree.map(lambda x: np.asarray(x), state.params)
+    state2, metrics = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+    assert np.isfinite(float(metrics["loss"]))
+    # Adam normalizes per-parameter, but with g clipped to 1e-4 the first
+    # step's |update| stays ~lr-bounded and finite; crucially it must be
+    # strictly smaller than the unclipped run's update
+    cfg_unclipped = _tiny_config(train_root, tmp_path)
+    state_u = create_train_state(hrnet, shiftnet, cfg_unclipped, jax.random.PRNGKey(0))
+    step_u = build_train_step(hrnet, shiftnet, cfg_unclipped)
+    state2_u, _ = step_u(state_u, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+
+    def gnorm(a, b):
+        leaves_a = jax.tree.leaves(jax.tree.map(lambda x, y: np.sum((np.asarray(x) - np.asarray(y)) ** 2), a, b))
+        return float(np.sqrt(np.sum(leaves_a)))
+
+    upd_clip = gnorm(state2.params, before)
+    upd_raw = gnorm(state2_u.params, before)
+    assert upd_clip < upd_raw, (upd_clip, upd_raw)
+
+    # mutable learning rate still reachable through the chained optimizer
+    state3 = state2.with_learning_rate(1e-5)
+    assert float(state3.learning_rate) == pytest.approx(1e-5)
+    state4, metrics4 = step(state3, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+    assert np.isfinite(float(metrics4["loss"]))
+
+
 def test_train_step_with_pallas_warp_flag(train_root, tmp_path):
     """training.use_pallas_warp dispatches by backend (XLA path on CPU)
     and produces the same loss as the default path."""
