@@ -30,6 +30,16 @@ def main(argv=None):
         "them first (loses ~0.1-0.7 dB to inter-member frame offsets; see "
         "ENSEMBLE_REPORT.json)",
     )
+    parser.add_argument(
+        "--tta",
+        type=int,
+        default=0,
+        choices=[0, 4, 8],
+        help="geometric self-ensemble: average the model over 4 or 8 "
+        "dihedral symmetries of the input (outputs are PCC-registered to "
+        "the identity-transform frame before averaging; single checkpoint "
+        "only; 8 requires square inputs)",
+    )
     parser.add_argument("--submission", default=None, help="write submission zip here")
     parser.add_argument("--splits", nargs="*", default=["val"], choices=["train", "val", "test"])
     parser.add_argument("--top-k", type=int, default=-1)
@@ -52,13 +62,19 @@ def main(argv=None):
         if args.registered:
             parser.error("--registered (ShiftNet-registered scoring) is not "
                          "supported with ensemble inference")
+        if args.tta:
+            parser.error("--tta is single-checkpoint only (see Model.enable_tta)")
         model.load_ensemble(
             args.checkpoint, register=not args.no_ensemble_registration
         )
     elif args.registered:
+        if args.tta:
+            parser.error("--tta cannot be combined with --registered scoring")
         model.load_checkpoint_with_shiftnet(args.checkpoint[0])
     else:
         model.load_checkpoint(args.checkpoint[0])
+        if args.tta:
+            model.enable_tta(transforms=args.tta)
 
     datasets = {"train": train_ds, "val": val_ds, "test": test_ds}
     selected = {s: datasets[s] for s in args.splits}

@@ -96,6 +96,61 @@ class _EnsembleForward:
         return np.asarray(self._fn(self.params_list, jnp.asarray(lrs), jnp.asarray(alphas)))
 
 
+class _TTAForward:
+    """Geometric self-ensemble (x8 TTA) around one weight set.
+
+    Runs the SR forward on each dihedral symmetry of the LR stack, undoes
+    the symmetry on each output, and averages — the standard SISR
+    self-ensemble (EDSR), which the reference never implemented; a
+    capability the framework adds beyond parity.
+
+    ``register=True`` (default) PCC-aligns every un-transformed output to
+    the identity-transform anchor before averaging, for the same reason the
+    checkpoint ensemble registers its members: the model's learned output
+    frame carries an absolute O(1 px) offset that is NOT equivariant under
+    the dihedral action (a rotation/reflection of the input maps offset
+    delta to T^-1(delta)), so the 8 raw outputs are mutually shifted sharp
+    images and naive averaging blurs exactly like the naive seed ensemble
+    did (ENSEMBLE_REPORT.json). TTA_REPORT.json measures both arms.
+
+    ``transforms=8`` needs square inputs (90-degree rotations);
+    ``transforms=4`` uses the shape-safe subgroup and works for any shape.
+    """
+
+    def __init__(self, hrnet: HRNet, params, transforms: int = 8, register: bool = True):
+        from highresnet_tpu.ops.dihedral import SAFE_SUBGROUP, dihedral_fwd, dihedral_inv
+
+        if transforms not in (4, 8):
+            raise ValueError(f"transforms must be 4 or 8, got {transforms}")
+        self.hrnet = hrnet
+        self.params = params
+        self.transforms = transforms
+        self.register = register
+        ts = SAFE_SUBGROUP if transforms == 4 else tuple(range(8))
+
+        def run(p, lrs, alphas):
+            srs = [
+                dihedral_inv(self.hrnet.apply({"params": p}, dihedral_fwd(lrs, t), alphas), t)
+                for t in ts
+            ]
+            if register and len(srs) > 1:
+                from highresnet_tpu.registration.search import pcc_align_batch
+
+                anchor = srs[0]
+                srs = [anchor] + [pcc_align_batch(anchor, sr)[0] for sr in srs[1:]]
+            return jnp.mean(jnp.stack(srs), axis=0)
+
+        self._fn = jax.jit(run)
+
+    def __call__(self, lrs: np.ndarray, alphas: np.ndarray) -> np.ndarray:
+        if self.transforms == 8 and lrs.shape[-2] != lrs.shape[-1]:
+            raise ValueError(
+                "x8 TTA requires square inputs (90-degree rotations); "
+                f"got {lrs.shape[-2]}x{lrs.shape[-1]} — use transforms=4"
+            )
+        return np.asarray(self._fn(self.params, jnp.asarray(lrs), jnp.asarray(alphas)))
+
+
 def warn_out_of_range(sr: np.ndarray, name: str = "", tol: float = 0.05) -> bool:
     """Loudly flag SR output that leaves [0, 1] by more than ``tol``.
 
@@ -310,6 +365,21 @@ class Model:
             self.hrnet, params = load_model(self.config, d)
             params_list.append(params)
         self.forward = _EnsembleForward(self.hrnet, params_list, register=register)
+
+    def enable_tta(self, transforms: int = 8, register: bool = True):
+        """Wrap the loaded single-checkpoint forward in geometric
+        self-ensembling (see _TTAForward). Call after load_checkpoint /
+        set_params; layering TTA over a checkpoint ensemble is not
+        supported (8 x K forwards — run the members' TTA outputs through
+        load_ensemble-style registration manually if ever needed)."""
+        if not isinstance(self.forward, _JittedForward):
+            raise ValueError(
+                "enable_tta requires a single-checkpoint forward "
+                "(load_checkpoint/set_params first; not available on ensembles)"
+            )
+        self.forward = _TTAForward(
+            self.hrnet, self.forward.params, transforms=transforms, register=register
+        )
 
     def __call__(self, imset, registered: bool = False):
         return get_sr_and_score(

@@ -235,3 +235,85 @@ def test_out_of_range_sr_warns(eval_env):
     assert not warn_out_of_range(np.full((4, 4), 1.04, np.float32))
     with pytest.warns(RuntimeWarning):
         assert warn_out_of_range(np.full((4, 4), 1.06, np.float32))
+
+
+def test_dihedral_roundtrip_and_group():
+    """inv(fwd(x, t), t) == x for every D4 element; fwd matches the numpy
+    rot90/flip composition it documents; the safe subgroup never changes
+    the shape of a rectangular image."""
+    import jax.numpy as jnp
+
+    from highresnet_tpu.ops.dihedral import SAFE_SUBGROUP, dihedral_fwd, dihedral_inv
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 3, 6, 6)).astype(np.float32)
+    seen = set()
+    for t in range(8):
+        y = np.asarray(dihedral_fwd(jnp.asarray(x), t))
+        expect = np.rot90(x, k=t % 4, axes=(-2, -1))
+        if t >= 4:
+            expect = np.flip(expect, axis=-1)
+        np.testing.assert_array_equal(y, expect)
+        np.testing.assert_array_equal(np.asarray(dihedral_inv(jnp.asarray(y), t)), x)
+        seen.add(y.tobytes())
+    assert len(seen) == 8  # all 8 group elements are distinct on generic input
+
+    rect = jnp.asarray(rng.random((1, 4, 6)).astype(np.float32))
+    for t in SAFE_SUBGROUP:
+        assert dihedral_fwd(rect, t).shape == rect.shape
+    with pytest.raises(ValueError):
+        dihedral_fwd(rect, 9)
+
+
+def test_tta_forward_matches_manual_average(eval_env):
+    """x8 TTA (register=False) == mean over the manually transformed
+    forwards; registered x8 runs and keeps shape/finiteness; Model
+    wiring + guards."""
+    import jax
+    import jax.numpy as jnp
+
+    from highresnet_tpu.eval.evaluator import _EnsembleForward, _TTAForward
+    from highresnet_tpu.models import HRNet
+    from highresnet_tpu.ops.dihedral import dihedral_fwd, dihedral_inv
+
+    root, config, model = eval_env
+    hrnet = HRNet(config=TINY_NET)
+    v = hrnet.init(jax.random.PRNGKey(5), jnp.zeros((1, 4, 16, 16)), jnp.ones((1, 4)))
+    rng = np.random.default_rng(1)
+    lrs = rng.random((2, 4, 16, 16)).astype(np.float32)
+    alphas = np.ones((2, 4), np.float32)
+
+    tta = _TTAForward(hrnet, v["params"], transforms=8, register=False)
+    got = tta(lrs, alphas)
+    manual = np.mean(
+        [
+            np.asarray(
+                dihedral_inv(
+                    hrnet.apply(v, dihedral_fwd(jnp.asarray(lrs), t), jnp.asarray(alphas)), t
+                )
+            )
+            for t in range(8)
+        ],
+        axis=0,
+    )
+    np.testing.assert_allclose(got, manual, atol=1e-5)
+    assert got.shape == (2, 48, 48)
+
+    reg = _TTAForward(hrnet, v["params"], transforms=4, register=True)
+    got_reg = reg(lrs, alphas)
+    assert got_reg.shape == (2, 48, 48) and np.all(np.isfinite(got_reg))
+
+    # Model.enable_tta swaps the forward in place and scoring still works
+    m = Model(config)
+    m.set_params(v["params"])
+    m.enable_tta(transforms=8, register=False)
+    ds = SceneDataset(discover_scenes(f"{root}/train"), top_k=-1)
+    sr, score = m(ds[0])
+    assert sr.shape == (48, 48) and score is not None and np.isfinite(score)
+
+    # guards: non-square x8 input, and TTA over an ensemble forward
+    with pytest.raises(ValueError, match="square"):
+        tta(rng.random((1, 4, 16, 12)).astype(np.float32), np.ones((1, 4), np.float32))
+    m.forward = _EnsembleForward(hrnet, [v["params"]], register=False)
+    with pytest.raises(ValueError, match="single-checkpoint"):
+        m.enable_tta()
