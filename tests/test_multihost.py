@@ -93,19 +93,24 @@ def test_two_process_training_matches_single_controller(mh_root, tmp_path):
     port = _free_port()
     outs = {k: str(tmp_path / f"{k}.json") for k in ("single", "p0", "p1", "r0", "r1")}
 
-    # uninterrupted oracle: 4 epochs, single controller
+    # uninterrupted oracle: 4 epochs, single controller. Run it to
+    # COMPLETION before launching the pair: Gloo creates its contexts
+    # lazily with a hard 30 s key-value deadline, and on this 1-core box
+    # a concurrent third process can skew the two workers past that
+    # window at any first-use collective (observed as
+    # "Gloo context initialization failed: DEADLINE_EXCEEDED" mid-run).
     single = subprocess.Popen(
         [sys.executable, DRIVER, "single", mh_root, outs["single"]],
         env=_env(4, {"HRN_TEST_EPOCHS": "4"}), cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
+    logs = {"single": single.communicate(timeout=900)[0]}
+    assert single.returncode == 0, logs["single"][-3000:]
+
     # phase A: distributed run that "dies" after epoch 2 (clean exit at
     # num_epochs=2 with the final full-state checkpoint in the run dir —
     # the same on-disk state a preempted-and-checkpointed run leaves)
     procs = _launch_pair(port, mh_root, outs["p0"], outs["p1"], epochs=2)
-
-    logs = {"single": single.communicate(timeout=900)[0]}
-    assert single.returncode == 0, logs["single"][-3000:]
     for pid, p in enumerate(procs):
         logs[f"p{pid}"] = p.communicate(timeout=900)[0]
         assert p.returncode == 0, logs[f"p{pid}"][-3000:]
