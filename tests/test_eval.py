@@ -317,3 +317,39 @@ def test_tta_forward_matches_manual_average(eval_env):
     m.forward = _EnsembleForward(hrnet, [v["params"]], register=False)
     with pytest.raises(ValueError, match="single-checkpoint"):
         m.enable_tta()
+
+
+def test_predict_cli_tta(eval_env, tmp_path, capsys):
+    """predict CLI --tta wraps the single-checkpoint forward in the
+    dihedral self-ensemble, and the flag is rejected for ensembles and
+    for --registered scoring."""
+    import json
+
+    import jax.numpy as jnp
+
+    from highresnet_tpu.cli.predict import main as predict_main
+    from highresnet_tpu.models import HRNet
+    from highresnet_tpu.train.checkpoint import CheckpointManager
+
+    root, config, model = eval_env
+    hrnet = HRNet(config=TINY_NET)
+    v = hrnet.init(jax.random.PRNGKey(3), jnp.zeros((1, 4, 16, 16)), jnp.ones((1, 4)))
+    ck = str(tmp_path / "ckpt_tta")
+    cm = CheckpointManager(ck)
+    cm.save_best(v["params"], {}, score=-10.0)
+    cm.wait()
+
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"paths": {"prefix": str(root)},
+                   "network": TINY_NET,
+                   "training": {"min_L": 4, "patch_size": 16}}, f)
+
+    predict_main(["--config", cfg_path, "--checkpoint", ck, "--splits", "val", "--tta", "8"])
+    assert "model" in capsys.readouterr().out  # benchmark table printed
+
+    with pytest.raises(SystemExit):  # ensemble + --tta is a config error
+        predict_main(["--config", cfg_path, "--checkpoint", ck, ck, "--tta", "4"])
+    with pytest.raises(SystemExit):  # --registered + --tta is a config error
+        predict_main(["--config", cfg_path, "--checkpoint", ck,
+                      "--registered", "--tta", "8"])
