@@ -78,6 +78,26 @@ class TorchBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+def max_pool_2x2(h: jax.Array) -> jax.Array:
+    """Non-overlapping 2x2/stride-2 max pool via reshape + max.
+
+    Forward-identical to ``nn.max_pool(h, (2, 2), strides=(2, 2))`` — the max
+    is taken over the same disjoint windows (reference pooling:
+    src/DeepNetworks/ShiftNet.py:22,29,36 ``nn.MaxPool2d(2)``). Written as a
+    reshape-max so the BACKWARD lowers to elementwise compare/broadcast
+    fusions instead of XLA's select-and-scatter, which the bf16 train-step
+    trace measured at 9.7 ms/step (TRACE_BF16_TRAIN_SUMMARY.json, 'ShiftNet
+    maxpool backward'). Gradients differ from select-and-scatter only on
+    exactly-tied window maxima: reshape-max splits the cotangent evenly among
+    ties while select-and-scatter routes it to one element. Ties are
+    measure-zero for continuous conv outputs except post-ReLU zeros, where
+    the upstream ReLU backward zeroes the gradient under either routing.
+    """
+    b, height, width, c = h.shape
+    h = h.reshape(b, height // 2, 2, width // 2, 2, c)
+    return h.max(axis=(2, 4))
+
+
 class ShiftNet(nn.Module):
     in_channels: int = 1
     dtype: Any = jnp.float32
@@ -95,7 +115,7 @@ class ShiftNet(nn.Module):
             )
             h = nn.relu(h)
             if pool:
-                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                h = max_pool_2x2(h)
             return h
 
         widths = [64, 64, 64, 64, 128, 128, 128, 128]

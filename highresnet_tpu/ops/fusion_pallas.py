@@ -15,8 +15,10 @@ and every byte of the pair tensor written exactly once — the speed of
 light for a pure data-movement op.
 
 Numerics: exact (pure gather/concat, no arithmetic). Differentiable via
-custom VJP: the backward is the inverse permutation (channel split +
-view unflip + zero for the dropped odd view), done in jnp.
+custom VJP: the backward is the inverse permutation (channel split + view
+unflip), fused into a single Pallas pass that writes the full input
+cotangent directly; only an odd dropped view's zero block is appended in
+jnp.
 
 ``pack_pairs`` dispatches by backend: Pallas on TPU, jnp elsewhere.
 """
@@ -99,18 +101,32 @@ def _pack_custom(x: jax.Array, l: int, interpret: bool) -> jax.Array:
     return _pallas_forward(x, interpret)
 
 
-def _unpack_kernel(g_ref, ga_ref, gb_ref, *, c: int):
-    ga_ref[0, 0] = g_ref[0, 0, :, :, :c]
-    gb_ref[0, 0] = g_ref[0, 0, :, :, c:]
+def _unpack_kernel(g_ref, out_ref, *, c: int, half: int):
+    from jax.experimental import pallas as pl
+
+    v = pl.program_id(1)  # output view index in [0, 2*half)
+
+    @pl.when(v < half)
+    def _alice():
+        out_ref[0, 0] = g_ref[0, 0, :, :, :c]
+
+    @pl.when(v >= half)
+    def _bob():
+        out_ref[0, 0] = g_ref[0, 0, :, :, c:]
 
 
 def _pallas_unpack(g: jax.Array, interpret: bool):
-    """Split the pair cotangent into (alice, bob-still-flipped) halves.
+    """Invert the pack permutation in ONE pass: (B, half, H, W, 2C) -> (B, 2*half, H, W, C).
 
-    The channel split reads the same lane-interleaved layout the forward
-    wrote, so it benefits from the same VMEM staging; the remaining view
-    unflip + view-axis concat in the caller are major-axis moves at full
-    copy bandwidth.
+    Output view v < half takes the alice channels of pair v; view v >= half
+    takes the bob channels of pair 2*half-1-v (the forward's view flip,
+    inverted in the input index map). Writing the full cotangent directly —
+    instead of channel-splitting to two half tensors, flipping bob, and
+    concatenating on the view axis — replaces the previous 5 HBM passes
+    over the state (split read+write, flip, concat read+write) with 3 (the
+    pair block is DMA'd once per output view, i.e. read twice, written
+    once), measured against the 22 ms/step data-movement bucket of
+    TRACE_BF16_TRAIN_SUMMARY.json.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -118,19 +134,21 @@ def _pallas_unpack(g: jax.Array, interpret: bool):
     b, half, h, w, c2 = g.shape
     c = c2 // 2
     hb = _block_h(h)
-    out = jax.ShapeDtypeStruct((b, half, h, w, c), g.dtype)
     return pl.pallas_call(
-        partial(_unpack_kernel, c=c),
-        out_shape=(out, out),
-        grid=(b, half, h // hb),
+        partial(_unpack_kernel, c=c, half=half),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * half, h, w, c), g.dtype),
+        grid=(b, 2 * half, h // hb),
         in_specs=[
+            # source pair index: v for the alice half, 2*half-1-v for bob;
+            # min(v, 2*half-1-v) covers both branches in one expression
             pl.BlockSpec(
-                (1, 1, hb, w, c2), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, hb, w, c2),
+                lambda i, v, k, _half=half: (i, jnp.minimum(v, 2 * _half - 1 - v), k, 0, 0),
+                memory_space=pltpu.VMEM,
             )
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, hb, w, c), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hb, w, c), lambda i, j, k: (i, j, k, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, hb, w, c), lambda i, v, k: (i, v, k, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(g)
@@ -141,16 +159,15 @@ def _fwd(x, l, interpret):
 
 
 def _bwd(l, interpret, _, g):
-    # inverse permutation: channel split (Pallas, same lane-interleave
-    # staging as the forward) + view unflip + zero for the dropped odd
-    # view; the view-axis concat is a major-axis move at copy bandwidth
+    # inverse permutation in a single Pallas pass; only an odd dropped
+    # view (zero cotangent) is appended in jnp — one tiny view-axis concat
     half = l // 2
-    g_alice, g_bob_flipped = _pallas_unpack(g, interpret)
-    parts = [g_alice, jnp.flip(g_bob_flipped, axis=1)]
+    gx = _pallas_unpack(g, interpret)
     if l > 2 * half:
         c = g.shape[-1] // 2
-        parts.append(jnp.zeros(g.shape[:1] + (l - 2 * half,) + g.shape[2:-1] + (c,), g.dtype))
-    return (jnp.concatenate(parts, axis=1),)
+        zeros = jnp.zeros(g.shape[:1] + (l - 2 * half,) + g.shape[2:-1] + (c,), g.dtype)
+        gx = jnp.concatenate([gx, zeros], axis=1)
+    return (gx,)
 
 
 _pack_custom.defvjp(_fwd, _bwd)

@@ -181,3 +181,26 @@ def test_pack_impl_knob_identical():
     cfg_xla["recursive"]["use_pallas_pack"] = False
     got = HRNet(config=cfg_xla).apply({"params": params}, lrs, alphas)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_max_pool_2x2_matches_nn_max_pool():
+    """Reshape-max pooling == flax nn.max_pool forward; same grads off-ties.
+
+    max_pool_2x2 replaces nn.max_pool in ShiftNet because its backward
+    avoids XLA select-and-scatter (9.7 ms/step in the bf16 train trace).
+    The forward must be bit-identical; the backward must agree whenever
+    window maxima are untied (ties are measure-zero for conv outputs).
+    """
+    import flax.linen as nn
+
+    from highresnet_tpu.models.shiftnet import max_pool_2x2
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 6, 5), jnp.float32)
+    ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+    got = max_pool_2x2(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # gradient parity on untied windows (continuous random input)
+    g_ref = jax.grad(lambda t: jnp.sum(nn.max_pool(t, (2, 2), strides=(2, 2)) ** 2))(x)
+    g_got = jax.grad(lambda t: jnp.sum(max_pool_2x2(t) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=0, atol=0)
