@@ -75,7 +75,39 @@ def summarize_chrome_trace(path: str, steps: int):
         }
         for name, (us, count) in rows[:25]
     ]
-    return total_us / steps / 1000.0, top
+    cats = defaultdict(float)
+    for name, (us, _count) in rows:
+        cats[_categorize(name)] += us
+    categories = {
+        k: round(v / steps / 1000.0, 2)
+        for k, v in sorted(cats.items(), key=lambda kv: -kv[1])
+    }
+    return total_us / steps / 1000.0, top, categories
+
+
+def _categorize(name: str) -> str:
+    """Best-effort thunk bucket from the XLA op name prefix.
+
+    Generic 'fusion.N' thunks (conv + fused elementwise chains, including
+    flips folded into them) land in the conv/matmul bucket; only ops whose
+    name states their nature are split out.
+    """
+    base = name.split(".")[0]
+    if base in ("copy", "copy-done", "copy-start", "transpose", "slice",
+                "concatenate", "pad", "bitcast", "dynamic-slice",
+                "dynamic-update-slice") or "slice_add" in name or "pad_add" in name:
+        return "data movement (copy/transpose/slice/concat/pad)"
+    if "select_and_scatter" in name or "compare_select" in name or "multiply_select" in name:
+        return "select-based backward masks (maxpool/ReLU)"
+    if "reduce" in name:
+        return "reductions (loss/BN/grad-norm)"
+    if base in ("sort",) or "sort" in base:
+        return "median sort"
+    if base in ("custom-call",):
+        return "pallas custom-calls (kernel time attributed to copies)"
+    if "reverse" in name:
+        return "flips (view/Lanczos VJP reverses)"
+    return "conv/matmul + fused elementwise"
 
 
 def main():
@@ -156,7 +188,7 @@ def main():
             if base.endswith(key):
                 shutil.copy(f, os.path.join(out_dir, "vm." + key))
     trace_json = os.path.join(out_dir, "vm.trace.json.gz")
-    device_ms, top = summarize_chrome_trace(trace_json, args.steps)
+    device_ms, top, categories = summarize_chrome_trace(trace_json, args.steps)
 
     summary = {
         "device": str(jax.devices()[0]),
@@ -171,6 +203,7 @@ def main():
             f"Raw trace: {out_dir}/"
         ),
         "device_ms_per_step": round(device_ms, 3),
+        "category_accounting_ms_per_step": categories,
         "top_ops": top,
     }
     with open(summary_path, "w") as f:
