@@ -19,6 +19,7 @@ Details (all configs, compile times) go to BENCH_DETAILS.json.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -30,6 +31,13 @@ def main(smoke: bool = False):
     the test suite can catch bench.py bitrot before the driver needs it."""
     import jax
     import jax.numpy as jnp
+
+    # honor an explicit JAX_PLATFORMS request: the axon sitecustomize pins
+    # jax_platforms=axon,cpu, which overrides the env var — without this a
+    # JAX_PLATFORMS=cpu smoke run silently targets the TPU relay (and hangs
+    # with it). Same convention as __graft_entry__._honor_cpu_request.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     platform = jax.default_backend()
     jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{platform}")
