@@ -45,10 +45,25 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--val-proportion", type=float, default=0.25)
     ap.add_argument("--regen", action="store_true", help="rebuild the dataset")
+    ap.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=0,
+        help="epochs between resumable full-state checkpoints; with a "
+        "stable run dir this makes the run relaunch-safe under the relay "
+        "stall watchdog (scripts/supervise_tpu.sh)",
+    )
     ap.add_argument("--out", default="QUALITY_REPORT.json")
     args = ap.parse_args()
 
     import jax
+
+    # sitecustomize pins jax_platforms=axon,cpu over the env var; honor an
+    # explicit JAX_PLATFORMS request (same convention as bench.py /
+    # __graft_entry__._honor_cpu_request) so CPU smoke runs don't grab the
+    # TPU relay
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     jax.config.update(
         "jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}"
@@ -103,14 +118,19 @@ def main():
                 "register_size": 2 * args.patch,  # < default 128: small scenes
                 "val_proportion": args.val_proportion,
                 "eval_batch_size": 4,
-                "checkpoint_every": 0,
+                "checkpoint_every": args.checkpoint_every,
                 "lr": args.lr,
                 "data_parallel": jax.device_count() > 1,
             },
         }
     )
+    # stable run dir iff checkpointing: each watchdog relaunch resumes (or,
+    # when training already finished, serves the saved best weights)
+    run_dir = (
+        os.path.join(args.root, "ckpt", "run") if args.checkpoint_every else None
+    )
     t0 = time.time()
-    result = train_and_get_best_model(config)
+    result = train_and_get_best_model(config, run_dir=run_dir)
     train_s = time.time() - t0
     print(f"trained {args.epochs} epochs in {train_s:.0f}s; best={result['best_score']:.3f}")
 
@@ -155,6 +175,8 @@ def main():
             "detail": args.detail,
             "hr_shift": args.hr_shift,
             "epochs": args.epochs,
+            # on a watchdog-relaunched resumable run this is the LAST leg
+            # only, not cumulative wall-clock
             "train_seconds": round(train_s, 1),
             "device": str(jax.devices()[0]),
         },
