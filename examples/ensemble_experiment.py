@@ -56,6 +56,13 @@ def main():
     )
     ap.add_argument("--fresh-test-scenes", type=int, default=100,
                     help="scenes per channel for the fresh test set")
+    ap.add_argument(
+        "--tta", type=int, default=0, choices=[0, 4, 8],
+        help="also score each member under registered dihedral TTA and the "
+        "FULL STACK (registered ensemble of the members' TTA outputs) — the "
+        "best-known inference configuration, stacking both demonstrated "
+        "mechanisms (TTA_REPORT.json, ENSEMBLE_REPORT_PARITY.json)",
+    )
     ap.add_argument("--out", default="ENSEMBLE_REPORT.json")
     args = ap.parse_args()
 
@@ -137,6 +144,22 @@ def main():
     hrnet = HRNet(config=net_config)
     fwd = jax.jit(lambda p, lrs, al: hrnet.apply({"params": p}, lrs, al))
 
+    if args.tta:
+        from highresnet_tpu.ops.dihedral import SAFE_SUBGROUP, dihedral_fwd, dihedral_inv
+        from highresnet_tpu.registration.search import pcc_align_batch as _pcc
+
+        tta_ts = SAFE_SUBGROUP if args.tta == 4 else tuple(range(8))
+
+        @jax.jit
+        def tta_fwd(p, lrs, al):
+            srs = [
+                dihedral_inv(hrnet.apply({"params": p}, dihedral_fwd(lrs, t), al), t)
+                for t in tta_ts
+            ]
+            anchor = srs[0]
+            srs = [anchor] + [_pcc(anchor, sr)[0] for sr in srs[1:]]
+            return jnp.mean(jnp.stack(srs), axis=0)
+
     if args.fresh_test_seed is not None:
         fresh_root = os.path.join(args.root, f"fresh_test_{args.fresh_test_seed}")
         if not os.path.isdir(os.path.join(fresh_root, "train")):
@@ -182,6 +205,19 @@ def main():
         row = {"scene": s.name}
         for seed in seeds:
             row[f"seed{seed}"] = score(srs[seed])
+        if args.tta:
+            # full stack: registered dihedral TTA per member, then the
+            # members' TTA outputs PCC-registered to the anchor member's
+            # TTA frame and averaged (ensemble-of-self-ensembles)
+            ttas = {seed: tta_fwd(members[seed]["params"], lrs, al)[0] for seed in seeds}
+            for seed in seeds:
+                row[f"tta{seed}"] = score(ttas[seed])
+            t_anchor = ttas[anchor]
+            t_stack = jnp.stack([t_anchor] + [
+                pcc_align_batch(t_anchor[None], ttas[s_][None])[0][0]
+                for s_ in seeds if s_ != anchor
+            ])
+            row["full_stack"] = score(jnp.mean(t_stack, axis=0))
         for a, b in pair_keys:
             # anchor on the pair's better-val member (the one users would
             # ship standalone), align the other onto its output frame
@@ -230,6 +266,10 @@ def main():
                for s_ in seeds}
         if len(seeds) > 2:
             out["rens_all"] = float(np.mean([rows[i]["rens_all"] for i in idxs]))
+        if args.tta:
+            for s_ in seeds:
+                out[f"tta{s_}"] = float(np.mean([rows[i][f"tta{s_}"] for i in idxs]))
+            out["full_stack"] = float(np.mean([rows[i]["full_stack"] for i in idxs]))
         stacked_scores = []
         for i in idxs:
             stack, hr, hrm = scene_data[i]
@@ -318,6 +358,13 @@ def main():
         "scenes_where_ensemble_beats_both": f"{wins}/{len(rows)}",
         "per_scene": rows,
     }
+    if args.tta:
+        best_tta_single = max((k for k in means if k.startswith("tta")), key=means.get)
+        report["tta_transforms"] = args.tta
+        report["full_stack_minus_best_single_db"] = round(
+            means["full_stack"] - means[best_single_key], 3)
+        report["full_stack_minus_best_tta_single_db"] = round(
+            means["full_stack"] - means[best_tta_single], 3)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items() if k != "per_scene"}, indent=2))
