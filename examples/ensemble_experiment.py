@@ -236,6 +236,10 @@ def main():
             row["rens_all"] = score(jnp.mean(stack, axis=0))
         scene_data.append((np.asarray(stack), np.asarray(hr), np.asarray(hrm)))
         rows.append(row)
+        if len(rows) % 10 == 0:
+            # keep the log fresh for the stall watchdog (relay readbacks
+            # make long eval loops slow and otherwise silent)
+            print(f"[eval] {len(rows)}/{len(val)} scenes", flush=True)
 
     # ---- stacked (least-squares weighted) registered ensemble -----------
     # Equal weights lose whenever one member dominates (a 0.7 dB-stronger

@@ -145,3 +145,64 @@ def test_enqueue_timed_measures_slope():
     # slope should recover ~2 ms/step regardless of any fixed overhead
     assert 0.0015 < dt < 0.02, dt
     assert calls["n"] == 1 + 3 + 13
+
+
+def _load_trace_tool():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "trace_train_step", "/root/repo/examples/trace_train_step.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_trace_summarizer_and_ceiling_accounting(tmp_path):
+    """summarize_chrome_trace parses device-track thunks and write_summary
+    regenerates the ceiling accounting from a checked-in trace (the
+    --resummarize path) without a TPU."""
+    import gzip
+    import json as _json
+
+    tool = _load_trace_tool()
+    steps = 2
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 9,
+         "args": {"name": "host CPU"}},
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 7,
+         "args": {"name": "XLA Ops"}},
+    ]
+    # two steps of: one conv fusion (100us), one copy (10us), one
+    # reduce (5us) on the device track; plus a host event that must be
+    # ignored
+    for _ in range(steps):
+        events += [
+            {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.1", "dur": 100.0, "ts": 0},
+            {"ph": "X", "pid": 1, "tid": 7, "name": "copy.2", "dur": 10.0, "ts": 0},
+            {"ph": "X", "pid": 1, "tid": 7, "name": "multiply_reduce_fusion.3", "dur": 5.0, "ts": 0},
+            {"ph": "X", "pid": 9, "tid": 1, "name": "hostwork", "dur": 999.0, "ts": 0},
+        ]
+    trace = tmp_path / "vm.trace.json.gz"
+    with gzip.open(trace, "wt") as f:
+        _json.dump({"traceEvents": events}, f)
+
+    device_ms, top, cats = tool.summarize_chrome_trace(str(trace), steps)
+    assert abs(device_ms - 0.115) < 1e-6  # (100+10+5) us/step
+    assert cats["conv/matmul + fused elementwise"] == 0.1
+    assert cats["data movement (copy/transpose/slice/concat/pad)"] == 0.01
+    assert cats["reductions (loss/BN/grad-norm)"] == 0.01  # rounded 0.005
+    assert top[0]["op"] == "fusion.1" and top[0]["count_per_step"] == 1
+
+    class _Args:
+        batch, views, patch, dtype = 32, 32, 64, "bfloat16"
+        steps = 2  # class bodies don't close over function locals
+
+    summary_path = tmp_path / "SUMMARY.json"
+    tool.write_summary(_Args, str(trace), str(summary_path), str(tmp_path), "fake TPU")
+    s = _json.loads(summary_path.read_text())
+    assert s["device"] == "fake TPU"
+    assert s["device_ms_per_step"] == round(device_ms, 3)
+    assert "ceiling_accounting" in s and "TF/s" in s["ceiling_accounting"]
