@@ -10,13 +10,19 @@
 # relaunch continues from the last checkpoint; a fully-finished run that
 # gets relaunched serves its saved best weights (train/loop.py falls back
 # to ckpt.load_best).
+#
+# HRN_SUPERVISE_POLL (default 30 s) and HRN_SUPERVISE_COOL (default 180 s)
+# override the staleness poll and post-failure cool-down — production
+# defaults are relay-sized; tests shrink them to run in seconds.
 LOG=$1; STALL=$2; MAXR=$3; shift 4
+POLL=${HRN_SUPERVISE_POLL:-30}
+COOL=${HRN_SUPERVISE_COOL:-180}
 for attempt in $(seq 0 "$MAXR"); do
   echo "=== supervisor attempt $attempt: $* ===" >> "$LOG"
   "$@" >> "$LOG" 2>&1 &
   PID=$!
   while kill -0 $PID 2>/dev/null; do
-    sleep 30
+    sleep "$POLL"
     AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
     if [ "$AGE" -gt "$STALL" ]; then
       echo "=== supervisor: log stale ${AGE}s, killing $PID ===" >> "$LOG"
@@ -28,8 +34,8 @@ for attempt in $(seq 0 "$MAXR"); do
   wait $PID
   RC=$?
   if [ $RC -eq 0 ]; then echo "=== supervisor: success ===" >> "$LOG"; exit 0; fi
-  echo "=== supervisor: exit $RC, cooling down 180s then restarting ===" >> "$LOG"
-  sleep 180
+  echo "=== supervisor: exit $RC, cooling down ${COOL}s then restarting ===" >> "$LOG"
+  sleep "$COOL"
 done
 echo "=== supervisor: giving up ===" >> "$LOG"
 exit 1

@@ -206,3 +206,48 @@ def test_trace_summarizer_and_ceiling_accounting(tmp_path):
     assert s["device"] == "fake TPU"
     assert s["device_ms_per_step"] == round(device_ms, 3)
     assert "ceiling_accounting" in s and "TF/s" in s["ceiling_accounting"]
+
+
+def test_supervise_tpu_stall_kill_and_relaunch(tmp_path):
+    """The relay stall-watchdog must kill a silent job once its log goes
+    stale and relaunch it; a relaunch that succeeds (resumable run) ends
+    the supervision with exit 0."""
+    import os
+    import subprocess
+
+    log = tmp_path / "run.log"
+    marker = tmp_path / "attempted_once"
+    # attempt 0: wedge silently (no log writes) -> watchdog kills it;
+    # attempt 1: marker exists -> print and succeed (a resumed run)
+    job = (
+        f"if [ -e {marker} ]; then echo resumed; exit 0; "
+        f"else touch {marker}; sleep 600; fi"
+    )
+    env = dict(os.environ, HRN_SUPERVISE_POLL="1", HRN_SUPERVISE_COOL="1")
+    proc = subprocess.run(
+        ["bash", "/root/repo/scripts/supervise_tpu.sh", str(log), "2", "3",
+         "--", "bash", "-c", job],
+        env=env, timeout=60, capture_output=True,
+    )
+    text = log.read_text()
+    assert proc.returncode == 0, text
+    assert "log stale" in text and "killing" in text
+    assert "supervisor attempt 1" in text
+    assert "resumed" in text and "success" in text
+
+
+def test_supervise_tpu_gives_up_after_max_restarts(tmp_path):
+    import os
+    import subprocess
+
+    log = tmp_path / "run.log"
+    env = dict(os.environ, HRN_SUPERVISE_POLL="1", HRN_SUPERVISE_COOL="1")
+    proc = subprocess.run(
+        ["bash", "/root/repo/scripts/supervise_tpu.sh", str(log), "5", "1",
+         "--", "bash", "-c", "echo try; exit 7"],
+        env=env, timeout=60, capture_output=True,
+    )
+    text = log.read_text()
+    assert proc.returncode == 1, text
+    assert text.count("supervisor attempt") == 2  # attempts 0 and 1
+    assert "giving up" in text
