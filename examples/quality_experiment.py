@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--lr", type=float, default=7e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--val-proportion", type=float, default=0.25)
+    ap.add_argument(
+        "--grad-clip-norm", type=float, default=0.0,
+        help="training.grad_clip_norm passthrough (0 = off, the "
+        "reference-exact default); bare Adam showed unlucky-seed "
+        "divergence at the paper-scale protocol (CHANGELOG round 3)",
+    )
     ap.add_argument("--regen", action="store_true", help="rebuild the dataset")
     ap.add_argument(
         "--checkpoint-every",
@@ -120,6 +126,7 @@ def main():
                 "eval_batch_size": 4,
                 "checkpoint_every": args.checkpoint_every,
                 "lr": args.lr,
+                "grad_clip_norm": args.grad_clip_norm,
                 "data_parallel": jax.device_count() > 1,
             },
         }
@@ -175,6 +182,12 @@ def main():
             "detail": args.detail,
             "hr_shift": args.hr_shift,
             "epochs": args.epochs,
+            "batch": args.batch,
+            "patch": args.patch,
+            "lr": args.lr,
+            "seed": args.seed,
+            "val_proportion": args.val_proportion,
+            "grad_clip_norm": args.grad_clip_norm,
             # on a watchdog-relaunched resumable run this is the LAST leg
             # only, not cumulative wall-clock
             "train_seconds": round(train_s, 1),
