@@ -57,6 +57,7 @@ class BatchLoader:
         seed: int = 0,
         num_workers: int = 4,
         prefetch: int = 4,
+        augment: bool = False,
     ):
         self.scene_dirs = list(scene_dirs)
         self.batch_size = batch_size
@@ -70,6 +71,7 @@ class BatchLoader:
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.augment = augment
         self.epoch = 0
 
     def __len__(self):
@@ -89,7 +91,7 @@ class BatchLoader:
         return rng.permutation(len(self.scene_dirs))
 
     def _load_scene(self, idx: int, scene_rng: np.random.Generator):
-        return read_imageset(
+        s = read_imageset(
             self.scene_dirs[idx],
             create_patches=self.create_patches,
             patch_size=self.patch_size,
@@ -97,6 +99,15 @@ class BatchLoader:
             beta=self.beta,
             rng=scene_rng,
         )
+        if self.augment:
+            # per-scene, per-epoch random D4 element; drawn from the same
+            # epoch-keyed rng as view/patch sampling so epochs stay
+            # reproducible. (With EpochCache, each cached variant freezes
+            # its own augmentation draw — raise n_variants for diversity.)
+            from highresnet_tpu.data.augment import random_dihedral_imageset
+
+            s = random_dihedral_imageset(s, scene_rng)
+        return s
 
     def __iter__(self) -> Iterator[Batch]:
         order = self._epoch_order()

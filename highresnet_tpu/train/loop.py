@@ -268,6 +268,9 @@ def train_and_get_best_model(
         seed=seed + 7919 * proc,  # decorrelate per-host view/patch sampling
         num_workers=t.get("n_workers", 4),
         drop_last=mesh is not None,
+        # D4 train-time augmentation (extension; the reference never
+        # flips/rotates — data/augment.py). Off by default.
+        augment=t.get("augment_dihedral", False),
     )
 
     # optional pre-collated epoch cache: trades sampling freshness
@@ -282,6 +285,7 @@ def train_and_get_best_model(
             f"b{local_batch_size}_L{t['min_L']}_k{t['n_views']}_p{t['patch_size']}"
             f"_c{int(t.get('create_patches', True))}_sh{int(t.get('shuffle', True))}"
             f"_d{int(mesh is not None)}_s{seed}_h{proc}_n{len(local_train_list)}"
+            f"_a{int(t.get('augment_dihedral', False))}"
         )
         cache_dir = os.path.join(
             t.get("epoch_cache_dir") or os.path.join(data_dir, ".epoch_cache"), proto_key
@@ -328,6 +332,13 @@ def train_and_get_best_model(
         state = state.replace(
             params={**state.params, "shiftnet": sn_params}, batch_stats=sn_stats
         )
+        if state.ema_params is not None:
+            # the EMA tracks from the warm-started point, not the cold init
+            state = state.replace(
+                ema_params={**state.ema_params, "shiftnet": jax.tree_util.tree_map(
+                    jnp.copy, sn_params
+                )}
+            )
         if is_primary:
             print(
                 f"shiftnet warm-start: {warmup_steps} steps on {len(pool)} HR "
@@ -405,7 +416,9 @@ def train_and_get_best_model(
             scheduler.load_state_dict(host_state["scheduler"])
         state = state.with_learning_rate(scheduler.lr)
 
-    best = jax.device_get({"params": state.params, "batch_stats": state.batch_stats})
+    # with training.ema_decay > 0, validation and best-model selection score
+    # the EMA weights (state.eval_params); otherwise the raw ones
+    best = jax.device_get({"params": state.eval_params, "batch_stats": state.batch_stats})
     steps_done = 0
     num_epochs = t["num_epochs"]
     if restored is not None and start_epoch > num_epochs:
@@ -464,7 +477,7 @@ def train_and_get_best_model(
         # fetch the first val SR only when a writer will log it (an image
         # readback per epoch is wasted bandwidth on remote transports)
         val_out = evaluate_model(
-            state.params["hrnet"],
+            state.eval_params["hrnet"],
             eval_step,
             val_list,
             t["min_L"],
@@ -486,7 +499,7 @@ def train_and_get_best_model(
             # (donate_argnums), so keeping device references would return
             # deleted arrays whenever the best epoch isn't the last one
             best = jax.device_get(
-                {"params": state.params, "batch_stats": state.batch_stats}
+                {"params": state.eval_params, "batch_stats": state.batch_stats}
             )
             # collective in multi-host runs: EVERY process participates
             # (Orbax coordinates; the primary host does the writing)

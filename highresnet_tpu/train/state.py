@@ -26,6 +26,16 @@ class TrainState:
     batch_stats: Dict[str, Any]  # ShiftNet BN running stats
     opt_state: Any
     rng: jax.Array  # dropout key, split per step
+    # Exponential moving average of params (training.ema_decay > 0), an
+    # extension the reference lacks: eval/best-model selection then uses
+    # the EMA weights. None (an EMPTY pytree node) when disabled, so the
+    # checkpoint tree of non-EMA runs is unchanged.
+    ema_params: Any = None
+
+    @property
+    def eval_params(self):
+        """The weights validation / best-model selection should score."""
+        return self.params if self.ema_params is None else self.ema_params
 
     @property
     def learning_rate(self):
@@ -82,10 +92,16 @@ def create_train_state(
     batch_stats = sn_vars.get("batch_stats", {})
     tx = make_optimizer(t["lr"], t.get("grad_clip_norm", 0.0))
     opt_state = tx.init(params)
+    # EMA starts AT the init point (not zero) so no debiasing is needed;
+    # decay=1.0 therefore freezes the EMA at init — a property the tests
+    # use to prove the loop evaluates EMA weights, not raw ones.
+    ema_decay = float(t.get("ema_decay", 0.0) or 0.0)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema_decay > 0 else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
         rng=k_drop,
+        ema_params=ema_params,
     )

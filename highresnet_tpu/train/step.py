@@ -134,6 +134,13 @@ def build_train_step(
     assert offset >= 0 or not register, "3*patch_size must cover the registration crop"
     border_mask = jnp.asarray(crop_mask(patch, t["crop"]))
     tx = make_optimizer(t["lr"], t.get("grad_clip_norm", 0.0))
+    # training.ema_decay > 0: maintain an EMA of params each step (the state
+    # must have been created with the SAME config so state.ema_params is
+    # initialized — create_train_state handles that). Elementwise, fused by
+    # XLA into the Adam update; cost is one extra param-sized FMA + write.
+    ema_decay = float(t.get("ema_decay", 0.0) or 0.0)
+    if not 0.0 <= ema_decay <= 1.0:
+        raise ValueError(f"training.ema_decay must be in [0, 1], got {ema_decay}")
 
     def loss_fn(params, batch_stats, dropout_rng, lrs, alphas, hrs, hr_maps):
         srs = hrnet.apply({"params": params["hrnet"]}, lrs, alphas)
@@ -156,12 +163,19 @@ def build_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        if ema_decay > 0:
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e + (1.0 - ema_decay) * (p - e), state.ema_params, params
+            )
+        else:
+            ema_params = state.ema_params
         new_state = state.replace(
             step=state.step + 1,
             params=params,
             batch_stats=new_stats,
             opt_state=opt_state,
             rng=rng,
+            ema_params=ema_params,
         )
         metrics = {
             "loss": loss,

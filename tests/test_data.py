@@ -363,3 +363,65 @@ def test_epoch_cache_in_train_loop(tmp_path):
     cache_root = os.path.join(str(root), ".epoch_cache")
     variants = [f for d, _, fs in os.walk(cache_root) for f in fs if f.endswith(".meta.json")]
     assert variants, "cache variants must have been committed"
+
+
+def test_dihedral_transforms():
+    """D4 helpers: identity at k=0, 8 distinct elements, exact LR<->HR
+    co-transformation (HR = 3x corner-aligned upsample commutes with any
+    dihedral element applied to the whole plane)."""
+    from highresnet_tpu.data.augment import dihedral, dihedral_imageset
+    from highresnet_tpu.data.probav import ImageSet
+
+    rng = np.random.default_rng(0)
+    img = rng.random((5, 7, 7), np.float32)  # asymmetric content
+    np.testing.assert_array_equal(dihedral(img, 0), img)
+    variants = [dihedral(img, k).tobytes() for k in range(8)]
+    assert len(set(variants)) == 8
+    for k in range(8):
+        out = dihedral(img, k)
+        assert out.flags["C_CONTIGUOUS"]
+        assert out.shape == img.shape
+
+    # nearest-3x upsample commutes with every dihedral element
+    lr = rng.random((2, 4, 4), np.float32)
+    hr = np.kron(lr[0], np.ones((3, 3), np.float32))
+    s = ImageSet(name="x", lr=lr, hr=hr, hr_map=np.ones_like(hr))
+    for k in range(8):
+        a = dihedral_imageset(s, k)
+        np.testing.assert_allclose(
+            a.hr, np.kron(a.lr[0], np.ones((3, 3), np.float32)), rtol=0, atol=0
+        )
+        np.testing.assert_array_equal(a.hr_map, np.ones_like(a.hr))
+
+    with pytest.raises(ValueError):
+        dihedral(img, 8)
+
+
+def test_batch_loader_augment_contract(dataset_root):
+    """augment=True draws the D4 element from the SAME epoch-keyed rng
+    stream as view/patch sampling — the exact per-scene contract a cache
+    or a repro run can rely on."""
+    from highresnet_tpu.data.augment import dihedral_imageset
+    from highresnet_tpu.data.probav import read_imageset
+
+    scenes = discover_scenes(f"{dataset_root}/train")
+    kw = dict(
+        batch_size=len(scenes), min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=8, seed=11, num_workers=1, shuffle=False,
+    )
+    plain = next(iter(BatchLoader(scenes, **kw)))
+    aug = next(iter(BatchLoader(scenes, augment=True, **kw)))
+
+    saw_nonidentity = False
+    for i, d in enumerate(scenes):
+        rng = np.random.default_rng((11, 0, i))
+        s = read_imageset(d, create_patches=True, patch_size=8, top_k=4, beta=50.0, rng=rng)
+        k = int(rng.integers(8))
+        e = dihedral_imageset(s, k)
+        np.testing.assert_array_equal(aug.lrs[i], e.lr)
+        np.testing.assert_array_equal(aug.hrs[i], e.hr)
+        np.testing.assert_array_equal(aug.hr_maps[i], e.hr_map)
+        if k != 0:
+            saw_nonidentity = True
+            assert aug.lrs[i].tobytes() != plain.lrs[i].tobytes()
+    assert saw_nonidentity  # 6 scenes, P(all k=0) = 8^-6

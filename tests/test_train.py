@@ -599,3 +599,85 @@ def test_mesh_safe_pack_guard_in_step_builders():
     # never a divide-by-zero or plausible-looking garbage
     u = utilization(1e9, 0.0)
     assert u["achieved_tflops_per_s"] is None and u["mxu_utilization"] is None
+
+
+def test_ema_tracks_params(train_root, tmp_path):
+    """training.ema_decay maintains ema_t = d*ema_{t-1} + (1-d)*params_t,
+    initialized AT the init point (no debias term needed)."""
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["ema_decay"] = 0.5
+    scenes = discover_scenes(f"{train_root}/train")
+    loader = BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )
+    batch = next(iter(loader))
+
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
+    step = build_train_step(hrnet, shiftnet, cfg)
+
+    expected = jax.device_get(state.params)
+    for _ in range(3):
+        state, _ = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+        params = jax.device_get(state.params)
+        expected = jax.tree_util.tree_map(
+            lambda e, p: 0.5 * e + 0.5 * p, expected, params
+        )
+    got = jax.device_get(state.ema_params)
+    jax.tree_util.tree_map(
+        lambda g, e: np.testing.assert_allclose(g, e, rtol=1e-6, atol=1e-7), got, expected
+    )
+
+    # disabled: no EMA tree at all (checkpoint structure unchanged)
+    cfg2 = _tiny_config(train_root, tmp_path)
+    s2 = create_train_state(hrnet, shiftnet, cfg2, jax.random.PRNGKey(0))
+    assert s2.ema_params is None
+    assert s2.eval_params is s2.params
+
+    with pytest.raises(ValueError):
+        cfg3 = _tiny_config(train_root, tmp_path)
+        cfg3["training"]["ema_decay"] = 1.5
+        build_train_step(hrnet, shiftnet, cfg3)
+
+
+def test_ema_loop_selects_ema_weights_and_resumes(train_root, tmp_path):
+    """The loop validates and snapshots EMA weights when enabled: with
+    decay=1.0 the EMA is frozen at init, so the returned best params must
+    equal the (reproducible) init even though the raw params trained away.
+    The resume leg exercises checkpoint restore of the EMA tree."""
+    import jax
+
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.loop import train_and_get_best_model
+    from highresnet_tpu.train.state import create_train_state
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["ema_decay"] = 1.0
+    run_dir = str(tmp_path / "ema_run")
+    out = train_and_get_best_model(cfg, run_dir=run_dir)
+
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    init = create_train_state(
+        hrnet, shiftnet, cfg, jax.random.PRNGKey(cfg["training"]["seed"])
+    )
+    init_params = jax.device_get(init.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), out["params"], init_params
+    )
+
+    # resume restores the EMA tree (template includes it) and still returns it
+    cfg["training"]["num_epochs"] = 2
+    out2 = train_and_get_best_model(cfg, run_dir=run_dir)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), out2["params"], init_params
+    )
