@@ -50,6 +50,21 @@ def main():
         "reference-exact default); bare Adam showed unlucky-seed "
         "divergence at the paper-scale protocol (CHANGELOG round 3)",
     )
+    ap.add_argument(
+        "--ema-decay", type=float, default=0.0,
+        help="training.ema_decay passthrough (0 = off): eval/best-model "
+        "selection then score the parameter EMA",
+    )
+    ap.add_argument(
+        "--augment", action="store_true",
+        help="training.augment_dihedral: per-scene random D4 rotation/flip "
+        "each epoch (extension; the reference never augments)",
+    )
+    ap.add_argument(
+        "--run-name", default="run",
+        help="checkpoint run-dir name under <root>/ckpt — give each arm of "
+        "a multi-arm experiment its own name so resumable runs don't collide",
+    )
     ap.add_argument("--regen", action="store_true", help="rebuild the dataset")
     ap.add_argument(
         "--checkpoint-every",
@@ -127,6 +142,8 @@ def main():
                 "checkpoint_every": args.checkpoint_every,
                 "lr": args.lr,
                 "grad_clip_norm": args.grad_clip_norm,
+                "ema_decay": args.ema_decay,
+                "augment_dihedral": args.augment,
                 "data_parallel": jax.device_count() > 1,
             },
         }
@@ -134,7 +151,7 @@ def main():
     # stable run dir iff checkpointing: each watchdog relaunch resumes (or,
     # when training already finished, serves the saved best weights)
     run_dir = (
-        os.path.join(args.root, "ckpt", "run") if args.checkpoint_every else None
+        os.path.join(args.root, "ckpt", args.run_name) if args.checkpoint_every else None
     )
     t0 = time.time()
     result = train_and_get_best_model(config, run_dir=run_dir)
@@ -188,6 +205,8 @@ def main():
             "seed": args.seed,
             "val_proportion": args.val_proportion,
             "grad_clip_norm": args.grad_clip_norm,
+            "ema_decay": args.ema_decay,
+            "augment_dihedral": args.augment,
             # on a watchdog-relaunched resumable run this is the LAST leg
             # only, not cumulative wall-clock
             "train_seconds": round(train_s, 1),

@@ -69,6 +69,13 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # the paper-scale protocol (observed: seed 1, loss -> ~1e23-output
         # territory while healthy seeds reach 16 dB); set ~1.0 to rescue.
         "grad_clip_norm": 0.0,
+        # parameter EMA decay; > 0 tracks an exponential moving average of
+        # both models' params inside the train step and scores/ships the
+        # EMA weights (train/state.py). 0 = off (reference-exact).
+        "ema_decay": 0.0,
+        # per-scene random D4 rotation/flip each epoch (data/augment.py);
+        # the reference never augments. false = off (reference-exact).
+        "augment_dihedral": False,
     },
 }
 
