@@ -1,0 +1,82 @@
+"""Merge two identical-protocol quality_experiment arms into one report.
+
+Both arms must come from the SAME dataset, split and training protocol
+(quality_experiment records the protocol; this script refuses to compare
+arms whose protocols differ on anything but the recipe knobs under test —
+the ADVICE.md round-2 lesson: never conflate protocol differences with the
+effect being measured).
+
+    python examples/recipe_report.py --baseline RECIPE_BASELINE.json \
+        --candidate RECIPE_EMA_AUG.json --out RECIPE_REPORT.json
+"""
+
+import argparse
+import json
+import math
+
+# knobs an arm is ALLOWED to differ on — everything else must match
+RECIPE_KEYS = {"ema_decay", "augment_dihedral", "grad_clip_norm", "train_seconds", "device"}
+
+
+def paired_t(deltas):
+    n = len(deltas)
+    mean = sum(deltas) / n
+    var = sum((d - mean) ** 2 for d in deltas) / (n - 1)
+    se = math.sqrt(var / n)
+    return mean / se if se > 0 else float("inf")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", required=True)
+    ap.add_argument("--candidate", required=True)
+    ap.add_argument("--out", default="RECIPE_REPORT.json")
+    args = ap.parse_args(argv)
+
+    with open(args.baseline) as f:
+        base = json.load(f)
+    with open(args.candidate) as f:
+        cand = json.load(f)
+
+    bp, cp = dict(base["protocol"]), dict(cand["protocol"])
+    mismatched = {
+        k
+        for k in (set(bp) | set(cp)) - RECIPE_KEYS
+        if bp.get(k) != cp.get(k)
+    }
+    if mismatched:
+        raise SystemExit(
+            f"protocols differ beyond the recipe knobs: {sorted(mismatched)} — "
+            "rerun the arms under one shared protocol"
+        )
+
+    b_rows = {r["scene"]: r for r in base["per_scene"]}
+    c_rows = {r["scene"]: r for r in cand["per_scene"]}
+    if set(b_rows) != set(c_rows):
+        raise SystemExit("arms scored different validation scenes; same split required")
+
+    scenes = sorted(b_rows)
+    deltas = [c_rows[s]["mfsr"] - b_rows[s]["mfsr"] for s in scenes]
+    mean_delta = sum(deltas) / len(deltas)
+    wins = sum(d > 0 for d in deltas)
+
+    report = {
+        "what": "recipe comparison: candidate vs baseline, identical protocol/dataset/split",
+        "protocol": {k: v for k, v in bp.items() if k not in RECIPE_KEYS},
+        "baseline_recipe": {k: bp.get(k) for k in sorted(RECIPE_KEYS - {"train_seconds", "device"})},
+        "candidate_recipe": {k: cp.get(k) for k in sorted(RECIPE_KEYS - {"train_seconds", "device"})},
+        "baseline_mean_shift_cpsnr": base["val_mean_shift_cpsnr"]["mfsr"],
+        "candidate_mean_shift_cpsnr": cand["val_mean_shift_cpsnr"]["mfsr"],
+        "candidate_minus_baseline_db": round(mean_delta, 4),
+        "scenes_where_candidate_wins": f"{wins}/{len(scenes)}",
+        "paired_t": round(paired_t(deltas), 3),
+        "train_seconds": {"baseline": bp.get("train_seconds"), "candidate": cp.get("train_seconds")},
+        "per_scene_delta_db": {s: round(d, 4) for s, d in zip(scenes, deltas)},
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "per_scene_delta_db"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
