@@ -52,7 +52,8 @@ def main():
     from highresnet_tpu.data.probav import discover_scenes
     from highresnet_tpu.data.synth import make_synthetic_dataset
 
-    if not os.path.isdir(os.path.join(args.root, "train")):
+    from highresnet_tpu.data.synth import synthetic_dataset_complete
+    if not synthetic_dataset_complete(args.root):
         shutil.rmtree(args.root, ignore_errors=True)
         make_synthetic_dataset(
             args.root,

@@ -85,7 +85,10 @@ def main():
     from highresnet_tpu.train.loop import train_and_get_best_model
 
     # --- dataset (shared by all arms) ------------------------------------
-    if args.regen or not os.path.isdir(os.path.join(args.root, "train")):
+    from highresnet_tpu.data.synth import synthetic_dataset_complete
+    # .complete marker: a generator killed mid-write (watchdog, ctrl-C)
+    # leaves a partial tree that must be rebuilt, not trained on
+    if args.regen or not synthetic_dataset_complete(args.root):
         import shutil
 
         shutil.rmtree(args.root, ignore_errors=True)

@@ -179,4 +179,15 @@ def make_synthetic_dataset(
         with open(join(root, "norm.csv"), "w") as f:
             for name in names:
                 f.write(f"{name} {45.0 + rng.random() * 5:.6f}\n")
+    # commit marker: a killed generator leaves no marker, so callers can
+    # detect (and regenerate) a partial dataset instead of training on it —
+    # a truncated scene dir crashes view sampling with an empty clearance
+    # array, or silently trains on fewer scenes than the protocol claims
+    with open(join(root, ".complete"), "w") as f:
+        f.write("ok\n")
     return root
+
+
+def synthetic_dataset_complete(root: str) -> bool:
+    """True iff make_synthetic_dataset ran to completion under ``root``."""
+    return os.path.exists(join(root, ".complete"))

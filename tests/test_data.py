@@ -425,3 +425,17 @@ def test_batch_loader_augment_contract(dataset_root):
             saw_nonidentity = True
             assert aug.lrs[i].tobytes() != plain.lrs[i].tobytes()
     assert saw_nonidentity  # 6 scenes, P(all k=0) = 8^-6
+
+
+def test_synth_completion_marker(tmp_path):
+    """A generator killed mid-write must be detectable: the .complete
+    marker is written LAST, so partial trees report incomplete."""
+    from highresnet_tpu.data.synth import make_synthetic_dataset, synthetic_dataset_complete
+
+    root = tmp_path / "ds"
+    assert not synthetic_dataset_complete(str(root))
+    make_synthetic_dataset(str(root), n_scenes_per_channel=1, n_views=2, lr_size=8, seed=0)
+    assert synthetic_dataset_complete(str(root))
+    # simulate an interrupted regen: tree present, marker gone
+    (root / ".complete").unlink()
+    assert not synthetic_dataset_complete(str(root))
