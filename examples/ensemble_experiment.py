@@ -82,9 +82,12 @@ def main():
     # .complete marker: a generator killed mid-write (watchdog, ctrl-C)
     # leaves a partial tree that must be rebuilt, not trained on
     if args.regen or not synthetic_dataset_complete(args.root):
-        import shutil
+        from highresnet_tpu.data.synth import clear_synthetic_dataset
 
-        shutil.rmtree(args.root, ignore_errors=True)
+        # removes only generated artifacts (train/, norm.csv, caches) and
+        # refuses to touch an unmarked tree unless --regen forces it —
+        # checkpoint dirs under --root survive a deterministic rebuild
+        clear_synthetic_dataset(args.root, force=args.regen)
         make_synthetic_dataset(
             args.root,
             n_scenes_per_channel=args.scenes_per_channel,
@@ -165,7 +168,7 @@ def main():
 
     if args.fresh_test_seed is not None:
         fresh_root = os.path.join(args.root, f"fresh_test_{args.fresh_test_seed}")
-        if not os.path.isdir(os.path.join(fresh_root, "train")):
+        if not synthetic_dataset_complete(fresh_root):
             make_synthetic_dataset(
                 fresh_root,
                 n_scenes_per_channel=args.fresh_test_scenes,

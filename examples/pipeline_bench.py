@@ -54,7 +54,9 @@ def main():
 
     from highresnet_tpu.data.synth import synthetic_dataset_complete
     if not synthetic_dataset_complete(args.root):
-        shutil.rmtree(args.root, ignore_errors=True)
+        from highresnet_tpu.data.synth import clear_synthetic_dataset
+
+        clear_synthetic_dataset(args.root)
         make_synthetic_dataset(
             args.root,
             n_scenes_per_channel=args.scenes // 2,

@@ -19,11 +19,16 @@ RECIPE_KEYS = {"ema_decay", "augment_dihedral", "grad_clip_norm", "train_seconds
 
 
 def paired_t(deltas):
+    """Paired t-statistic, or None when it is undefined (fewer than two
+    scenes, or zero-variance deltas — reporting 'infinite significance'
+    for a degenerate sample would be worse than reporting nothing)."""
     n = len(deltas)
+    if n < 2:
+        return None
     mean = sum(deltas) / n
     var = sum((d - mean) ** 2 for d in deltas) / (n - 1)
     se = math.sqrt(var / n)
-    return mean / se if se > 0 else float("inf")
+    return mean / se if se > 0 else None
 
 
 def main(argv=None):
@@ -69,7 +74,7 @@ def main(argv=None):
         "candidate_mean_shift_cpsnr": cand["val_mean_shift_cpsnr"]["mfsr"],
         "candidate_minus_baseline_db": round(mean_delta, 4),
         "scenes_where_candidate_wins": f"{wins}/{len(scenes)}",
-        "paired_t": round(paired_t(deltas), 3),
+        "paired_t": (lambda t: None if t is None else round(t, 3))(paired_t(deltas)),
         "train_seconds": {"baseline": bp.get("train_seconds"), "candidate": cp.get("train_seconds")},
         "per_scene_delta_db": {s: round(d, 4) for s, d in zip(scenes, deltas)},
     }

@@ -37,9 +37,15 @@ def pack_scene(scene_dir: str) -> str:
     if os.path.exists(hr_path):
         payload["hr"] = imread_u16(hr_path).astype(np.uint16)
 
+    # write-then-rename: a process killed mid-pack must never leave a
+    # truncated packed.npz (it would be newer than its PNGs, so the
+    # staleness guard would serve it and np.load would crash every
+    # later run — a permanent crash loop under a relaunch supervisor)
     out = join(scene_dir, PACK_NAME)
-    with open(out, "wb") as f:
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as f:
         np.savez(f, **payload)  # uncompressed: decode-free reads
+    os.replace(tmp, out)
     return out
 
 

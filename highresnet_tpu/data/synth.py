@@ -17,6 +17,8 @@ import numpy as np
 
 from highresnet_tpu.utils.imageio import imsave_u16
 
+GENERATING_MARKER = ".generating"
+
 
 def _smooth_field(rng: np.random.Generator, size: int, octaves: int = 4) -> np.ndarray:
     """Multi-octave smooth random field in [0, 1]."""
@@ -154,6 +156,12 @@ def make_synthetic_dataset(
     hr_shift_sigma: float = 0.0,
 ) -> str:
     """Create <root>/{train,test}/{RED,NIR}/imgset####/ with PNG assets."""
+    os.makedirs(root, exist_ok=True)
+    # in-progress marker: its presence marks the tree as synthetic-generated
+    # even if this process is killed mid-write, so clear_synthetic_dataset
+    # can tell "partial synthetic dataset" apart from "somebody's real data"
+    with open(join(root, GENERATING_MARKER), "w") as f:
+        f.write("in progress\n")
     rng = np.random.default_rng(seed)
     idx = 0
     names = []
@@ -185,9 +193,43 @@ def make_synthetic_dataset(
     # array, or silently trains on fewer scenes than the protocol claims
     with open(join(root, ".complete"), "w") as f:
         f.write("ok\n")
+    os.remove(join(root, GENERATING_MARKER))
     return root
 
 
 def synthetic_dataset_complete(root: str) -> bool:
     """True iff make_synthetic_dataset ran to completion under ``root``."""
     return os.path.exists(join(root, ".complete"))
+
+
+def clear_synthetic_dataset(root: str, force: bool = False) -> None:
+    """Remove ONLY what make_synthetic_dataset (and derived caches) wrote —
+    train/, test/, norm.csv, markers, .epoch_cache — leaving everything
+    else under ``root`` (checkpoint dirs, reports) intact: a rebuild with
+    the same seed/args reproduces the identical dataset, so resumable runs
+    keep their progress across a regeneration.
+
+    Refuses to touch a ``train/`` tree that carries no generation marker
+    (neither .complete nor .generating) unless ``force=True``: pointing an
+    experiment at a real dataset must never silently delete it.
+    """
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    marked = synthetic_dataset_complete(root) or os.path.exists(
+        join(root, GENERATING_MARKER)
+    )
+    if os.path.isdir(join(root, "train")) and not marked and not force:
+        raise RuntimeError(
+            f"{root}/train exists but carries no synthetic-generation marker; "
+            "refusing to delete what may be real data. Pass --regen (force) "
+            "to rebuild, or point --root elsewhere."
+        )
+    for name in ("train", "test", ".epoch_cache"):
+        shutil.rmtree(join(root, name), ignore_errors=True)
+    for name in ("norm.csv", ".complete", GENERATING_MARKER):
+        try:
+            os.remove(join(root, name))
+        except OSError:
+            pass

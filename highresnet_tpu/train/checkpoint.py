@@ -81,7 +81,21 @@ class CheckpointManager:
         path = os.path.join(self.run_dir, slot)
         if not os.path.isdir(path):
             return None, {}
-        state = self._ckptr.restore(path, jax.device_get(template))
+        try:
+            state = self._ckptr.restore(path, jax.device_get(template))
+        except Exception as e:
+            # the most common cause is a config whose state STRUCTURE
+            # changed between the save and this relaunch (e.g. ema_decay
+            # toggled on/off adds/removes the ema_params tree) — surface
+            # that instead of Orbax's raw tree-mismatch error so a
+            # supervised run fails loudly rather than crash-looping
+            raise RuntimeError(
+                f"checkpoint at {path} does not match the current train-state "
+                "structure. Did a config knob that changes the state tree "
+                "(e.g. training.ema_decay, grad_clip_norm, network sizes) "
+                "change since the run was checkpointed? Resume with the "
+                "original settings, or start a fresh run_dir."
+            ) from e
         host_state = {k: v for k, v in latest.items() if k != "slot"}
         return state, host_state
 

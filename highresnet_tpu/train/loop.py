@@ -285,7 +285,7 @@ def train_and_get_best_model(
             f"b{local_batch_size}_L{t['min_L']}_k{t['n_views']}_p{t['patch_size']}"
             f"_c{int(t.get('create_patches', True))}_sh{int(t.get('shuffle', True))}"
             f"_d{int(mesh is not None)}_s{seed}_h{proc}_n{len(local_train_list)}"
-            f"_a{int(t.get('augment_dihedral', False))}"
+            f"_a{int(t.get('augment_dihedral', False))}_be{t['beta']:g}"
         )
         cache_dir = os.path.join(
             t.get("epoch_cache_dir") or os.path.join(data_dir, ".epoch_cache"), proto_key
@@ -421,14 +421,16 @@ def train_and_get_best_model(
     best = jax.device_get({"params": state.eval_params, "batch_stats": state.batch_stats})
     steps_done = 0
     num_epochs = t["num_epochs"]
-    if restored is not None and start_epoch > num_epochs:
-        # fully-finished run restarted (e.g. a watchdog relaunch after the
-        # final epoch): the epoch loop won't execute, so serve the SAVED
-        # best weights rather than the final-epoch state
+    if restored is not None:
+        # ANY resume must seed `best` from the SAVED best weights: the
+        # restored best_score belongs to the epoch that wrote best/, and if
+        # the remaining epochs never beat it (or the loop won't run at all
+        # after a relaunch of a finished run), returning the restored
+        # CURRENT state would mislabel non-best weights with the best score
         try:
             best = ckpt.load_best(best)
         except Exception:
-            pass  # no best saved (e.g. zero-epoch run); final state stands
+            pass  # no best saved yet (e.g. killed before the first eval)
 
     for epoch in range(start_epoch, num_epochs + 1):
         step_fn = (

@@ -439,3 +439,56 @@ def test_synth_completion_marker(tmp_path):
     # simulate an interrupted regen: tree present, marker gone
     (root / ".complete").unlink()
     assert not synthetic_dataset_complete(str(root))
+
+
+def test_clear_synthetic_dataset_policy(tmp_path):
+    """clear removes only generated artifacts (checkpoints under root
+    survive a deterministic rebuild) and refuses unmarked trees."""
+    import os
+
+    from highresnet_tpu.data.synth import (
+        GENERATING_MARKER,
+        clear_synthetic_dataset,
+        make_synthetic_dataset,
+        synthetic_dataset_complete,
+    )
+
+    root = tmp_path / "ds"
+    make_synthetic_dataset(str(root), n_scenes_per_channel=1, n_views=2, lr_size=8, seed=0)
+    (root / "ckpt").mkdir()
+    (root / "ckpt" / "weights.bin").write_text("precious")
+
+    clear_synthetic_dataset(str(root))
+    assert not (root / "train").exists()
+    assert not (root / "norm.csv").exists()
+    assert not synthetic_dataset_complete(str(root))
+    assert (root / "ckpt" / "weights.bin").read_text() == "precious"
+
+    # unmarked tree (real data): refuse without force
+    (root / "train").mkdir()
+    (root / "train" / "real.png").write_text("x")
+    with pytest.raises(RuntimeError, match="refusing to delete"):
+        clear_synthetic_dataset(str(root))
+    clear_synthetic_dataset(str(root), force=True)
+    assert not (root / "train").exists()
+
+    # a killed generator leaves .generating => tree is known-synthetic
+    (root / "train").mkdir()
+    (root / GENERATING_MARKER).write_text("in progress")
+    clear_synthetic_dataset(str(root))  # no raise
+    assert not (root / "train").exists()
+    assert not (root / GENERATING_MARKER).exists()
+
+
+def test_pack_write_is_atomic(dataset_root):
+    """pack_scene commits via rename: no .tmp remains, and the pack loads."""
+    import os
+
+    from highresnet_tpu.data.pack import PACK_NAME, load_pack, pack_scene
+
+    scene = discover_scenes(f"{dataset_root}/train")[0]
+    out = pack_scene(scene)
+    assert os.path.basename(out) == PACK_NAME
+    assert not os.path.exists(out + ".tmp")
+    assert load_pack(scene) is not None
+    os.remove(out)

@@ -681,3 +681,40 @@ def test_ema_loop_selects_ema_weights_and_resumes(train_root, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b), out2["params"], init_params
     )
+
+
+def test_resume_returns_saved_best_when_no_improvement(train_root, tmp_path):
+    """A resumed run whose remaining epochs never beat the restored
+    best_score must return the SAVED best weights, not the restored
+    current state mislabeled with the better score."""
+    import json
+    import os
+
+    import jax
+
+    from highresnet_tpu.train.checkpoint import CheckpointManager
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    cfg = _tiny_config(train_root, tmp_path)
+    run_dir = str(tmp_path / "resume_best_run")
+    out1 = train_and_get_best_model(cfg, run_dir=run_dir)
+
+    # forge an unbeatable best score into the resume pointer: epoch 2 can
+    # then never improve on it, so the loop must serve best/ as-is
+    latest_path = os.path.join(run_dir, "latest.json")
+    with open(latest_path) as f:
+        latest = json.load(f)
+    latest["best_score"] = -1e9
+    with open(latest_path, "w") as f:
+        json.dump(latest, f)
+
+    cfg["training"]["num_epochs"] = 2
+    out2 = train_and_get_best_model(cfg, run_dir=run_dir)
+    assert out2["best_score"] == -1e9  # never beaten
+
+    saved = CheckpointManager(run_dir).load_best(
+        {"params": out1["params"], "batch_stats": out1["batch_stats"]}
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), out2["params"], saved["params"]
+    )
