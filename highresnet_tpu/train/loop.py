@@ -78,6 +78,40 @@ def _run_dir_name(t: Dict[str, Any]) -> str:
     )
 
 
+def build_val_batches(
+    val_scenes,
+    min_l: int,
+    top_k: int,
+    beta: float,
+    batch_size: int,
+    rng=None,
+):
+    """Pre-collate the validation set into static-shape batches.
+
+    The val set is fixed, so reading + collating it once and replaying the
+    arrays every epoch removes the per-epoch host cost (at paper scale the
+    repeated decode/collate dominated epoch wall-clock on a 1-core host).
+    A seeded ``rng`` freezes the clearance-sampled view selection, making
+    the val score deterministic across epochs AND runs — a deliberate
+    divergence from the reference, whose val loader re-samples views every
+    epoch (src/train.py:284 + DataLoader.py:127): noisy val scores make
+    best-model selection itself noisy. Opt out with
+    ``training.cache_val_batches: false``.
+    """
+    out = []
+    for start in range(0, len(val_scenes), batch_size):
+        dirs = val_scenes[start : start + batch_size]
+        sets = [read_imageset(d, top_k=top_k, beta=beta, rng=rng) for d in dirs]
+        n_real = len(sets)
+        if n_real < batch_size:  # pad to the compiled static batch shape
+            sets = sets + [sets[-1]] * (batch_size - n_real)
+        batch = collate(sets, min_l)
+        out.append(
+            (batch.names[:n_real], (batch.lrs, batch.alphas, batch.hrs, batch.hr_maps))
+        )
+    return out
+
+
 def evaluate_model(
     params_hrnet,
     eval_step,
@@ -89,6 +123,7 @@ def evaluate_model(
     batch_size: int = 1,
     mesh=None,
     return_images: bool = False,
+    prebuilt_batches=None,
 ):
     """Validation score over full-resolution scenes.
 
@@ -109,17 +144,14 @@ def evaluate_model(
     # dispatch all eval batches first, read scores back once at the end
     # (device transports with high readback latency would otherwise sync
     # once per batch)
+    batches = prebuilt_batches
+    if batches is None:
+        batches = build_val_batches(val_scenes, min_l, top_k, beta, batch_size)
     pending = []  # (names, device scores)
     first_srs = None
     first_hr = None
-    for start in range(0, len(val_scenes), batch_size):
-        dirs = val_scenes[start : start + batch_size]
-        sets = [read_imageset(d, top_k=top_k, beta=beta) for d in dirs]
-        n_real = len(sets)
-        if n_real < batch_size:  # pad to the compiled static batch shape
-            sets = sets + [sets[-1]] * (batch_size - n_real)
-        batch = collate(sets, min_l)
-        args = (batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+    for names, host_args in batches:
+        args = host_args
         if mesh is not None:
             if is_multihost():
                 # every host loads the full val batch; cut global arrays
@@ -130,8 +162,8 @@ def evaluate_model(
         srs, scores = eval_step(params_hrnet, *args)
         if return_images and first_srs is None:
             first_srs = srs  # device ref; fetched once below
-            first_hr = batch.hrs[0]
-        pending.append((batch.names[:n_real], scores))
+            first_hr = host_args[2][0]  # hrs of the first batch
+        pending.append((names, scores))
 
     total = 0.0
     n = 0
@@ -383,6 +415,23 @@ def train_and_get_best_model(
         eval_mesh = mesh
     eval_step = build_eval_step(hrnet, config, mesh=eval_mesh, replicate_out=multihost)
 
+    # pre-collate the (fixed) validation set once: per-epoch re-read +
+    # re-collate dominated epoch wall-clock at paper scale on a 1-core
+    # host, and per-epoch re-SAMPLING of eval views made the val score —
+    # and hence best-model selection — noisy. Seeded rng => deterministic
+    # across epochs and runs. training.cache_val_batches=false restores
+    # the reference's stochastic per-epoch behavior (src/train.py:284).
+    val_batches = None
+    if t.get("cache_val_batches", True):
+        val_batches = build_val_batches(
+            val_list,
+            t["min_L"],
+            t["n_views"],
+            t["beta"],
+            eval_batch,
+            rng=np.random.default_rng(seed + 10007),
+        )
+
     if run_dir is None:
         run_dir = os.path.join(paths["checkpoint_dir"], _run_dir_name(t))
         if multihost:  # per-host clocks would mint different names
@@ -489,6 +538,7 @@ def train_and_get_best_model(
             batch_size=eval_batch,
             mesh=eval_mesh,
             return_images=writer is not None,
+            prebuilt_batches=val_batches,
         )
         if writer is not None:
             val_score, sr0, hr0 = val_out

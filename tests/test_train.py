@@ -307,7 +307,7 @@ def test_evaluate_model_guards_and_padding(train_root, tmp_path):
         b = lrs.shape[0]
         return np.zeros((b, 48, 48)), np.full((b,), 50.0)
 
-    def fake_read(d, top_k=None, beta=0.0):
+    def fake_read(d, top_k=None, beta=0.0, rng=None):
         from highresnet_tpu.data.probav import ImageSet
 
         lr = np.zeros((4, 16, 16), np.float32)
@@ -718,3 +718,36 @@ def test_resume_returns_saved_best_when_no_improvement(train_root, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b), out2["params"], saved["params"]
     )
+
+
+def test_val_batch_cache_deterministic_and_equivalent(train_root, tmp_path):
+    """Cached val batches: identical scores on replay, and equivalent to
+    the on-the-fly path given the same sampling rng."""
+    import jax
+    import numpy as np_
+
+    from highresnet_tpu.data import discover_scenes, train_val_split
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.loop import build_val_batches, evaluate_model
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_eval_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    scenes = discover_scenes(f"{train_root}/train")
+    _, val = train_val_split(scenes, 0.5, seed=1)
+    hrnet = HRNet(config=cfg["network"])
+    state = create_train_state(hrnet, ShiftNet(), cfg, jax.random.PRNGKey(0))
+    eval_step = build_eval_step(hrnet, cfg)
+
+    batches = build_val_batches(val, 4, 4, 50.0, 2, rng=np_.random.default_rng(5))
+    kw = dict(min_l=4, baseline_cpsnrs=None, top_k=4, beta=50.0, batch_size=2)
+    s1 = evaluate_model(state.params["hrnet"], eval_step, val, prebuilt_batches=batches, **kw)
+    s2 = evaluate_model(state.params["hrnet"], eval_step, val, prebuilt_batches=batches, **kw)
+    assert s1 == s2  # replay is exact
+
+    # same rng seed on-the-fly == the cached build
+    batches2 = build_val_batches(val, 4, 4, 50.0, 2, rng=np_.random.default_rng(5))
+    for (n1, a1), (n2, a2) in zip(batches, batches2):
+        assert n1 == n2
+        for x, y in zip(a1, a2):
+            np_.testing.assert_array_equal(x, y)
