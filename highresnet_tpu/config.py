@@ -76,6 +76,28 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # per-scene random D4 rotation/flip each epoch (data/augment.py);
         # the reference never augments. false = off (reference-exact).
         "augment_dihedral": False,
+        # stop when this many epochs pass with no val improvement; the best
+        # weights are served either way. 0 = run all epochs (reference-exact).
+        "early_stop_patience": 0,
+        # pre-collate the (fixed) val set once and replay it every epoch:
+        # decode-free and deterministic (seeded view sampling). false
+        # restores the reference's stochastic per-epoch val loader
+        # (src/train.py:284).
+        "cache_val_batches": True,
+        # supervised ShiftNet pretraining on known Lanczos shifts before
+        # joint training; needed for the registered loss to bootstrap at
+        # multi-pixel misalignment (REGISTER_ABLATION.json). 0 = off.
+        "shiftnet_warmup_steps": 0,
+        "shiftnet_warmup_sigma": 1.5,
+        # train WITHOUT loss-time registration for the first N epochs so
+        # HRNet forms a stable output frame first. 0 = off.
+        "register_warmup_epochs": 0,
+        # device mesh layout, e.g. {"data": 4, "view": 2}; null = 1-D data
+        # parallelism over all local devices when data_parallel is true.
+        "mesh": None,
+        # > 0: serve training batches from N pre-collated memory-mapped
+        # epoch realizations instead of per-epoch PNG/pack decodes.
+        "epoch_cache_variants": 0,
     },
 }
 

@@ -457,10 +457,14 @@ def train_and_get_best_model(
         restored = replicate_to_mesh(mesh, restored)
     start_epoch = 1
     best_score = float("inf")
+    best_epoch = 0
     if restored is not None:
         state = restored
         start_epoch = host_state.get("epoch", 0) + 1
         best_score = host_state.get("best_score", float("inf"))
+        # older checkpoints lack best_epoch; seeding it with the restored
+        # epoch is conservative (a resume never instantly early-stops)
+        best_epoch = host_state.get("best_epoch", start_epoch - 1)
         if "scheduler" in host_state:
             scheduler.load_state_dict(host_state["scheduler"])
         state = state.with_learning_rate(scheduler.lr)
@@ -547,6 +551,7 @@ def train_and_get_best_model(
 
         if val_score < best_score:
             best_score = val_score
+            best_epoch = epoch
             # snapshot to host: the next train_step DONATES state buffers
             # (donate_argnums), so keeping device references would return
             # deleted arrays whenever the best epoch isn't the last one
@@ -560,14 +565,32 @@ def train_and_get_best_model(
         new_lr = scheduler.step(val_score)
         state = state.with_learning_rate(new_lr)
 
+        # optional early stopping (training.early_stop_patience epochs with
+        # no val improvement; 0 = off, the reference-exact behavior). At
+        # synthetic-data scale runs spend most epochs past their val peak
+        # with best-model selection doing the rescue — stopping there saves
+        # the chip time. Deterministic across hosts: every process scores
+        # the same replicated val number, so all break on the same epoch.
+        patience = int(t.get("early_stop_patience", 0) or 0)
+        early_stop = patience > 0 and (epoch - best_epoch) >= patience
+
         # full resumable state every `checkpoint_every` epochs (async save);
         # 0 = best-weights-only during the run, one final state save at exit
         every = t.get("checkpoint_every", 1)
-        stopping = (epoch == num_epochs) or (max_steps is not None and steps_done >= max_steps)
+        stopping = (
+            (epoch == num_epochs)
+            or early_stop
+            or (max_steps is not None and steps_done >= max_steps)
+        )
         if (every > 0 and epoch % every == 0) or stopping:
             ckpt.save_state(
                 state,
-                {"epoch": epoch, "best_score": best_score, "scheduler": scheduler.state_dict()},
+                {
+                    "epoch": epoch,
+                    "best_score": best_score,
+                    "best_epoch": best_epoch,
+                    "scheduler": scheduler.state_dict(),
+                },
             )
 
         if writer is not None:
@@ -593,6 +616,14 @@ def train_and_get_best_model(
                 f"({time.time() - t0:.1f}s)",
                 flush=True,
             )
+        if early_stop:
+            if is_primary:
+                print(
+                    f"early stop at epoch {epoch}: no val improvement since "
+                    f"epoch {best_epoch} (patience {patience})",
+                    flush=True,
+                )
+            break
         if max_steps is not None and steps_done >= max_steps:
             break
 

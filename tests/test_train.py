@@ -751,3 +751,25 @@ def test_val_batch_cache_deterministic_and_equivalent(train_root, tmp_path):
         assert n1 == n2
         for x, y in zip(a1, a2):
             np_.testing.assert_array_equal(x, y)
+
+
+def test_early_stop_patience(train_root, tmp_path):
+    """With lr=0 the val score never improves after epoch 1, so patience=2
+    must end the run at exactly epoch 3 (and keep serving best weights)."""
+    import json
+    import os
+
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["lr"] = 0.0
+    cfg["training"]["num_epochs"] = 10
+    cfg["training"]["early_stop_patience"] = 2
+    run_dir = str(tmp_path / "early_stop_run")
+    out = train_and_get_best_model(cfg, run_dir=run_dir)
+
+    with open(os.path.join(run_dir, "latest.json")) as f:
+        latest = json.load(f)
+    assert latest["epoch"] == 3  # stopped: best at 1, patience 2
+    assert latest["best_epoch"] == 1
+    assert out["best_score"] == latest["best_score"]
