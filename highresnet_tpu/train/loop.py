@@ -549,18 +549,47 @@ def train_and_get_best_model(
         else:
             val_score, sr0, hr0 = val_out, None, None
 
-        if val_score < best_score:
-            best_score = val_score
+        # with EMA on, score the RAW weights too and let best-model
+        # selection take whichever wins. An EMA at decay d lags ~1/(1-d)
+        # steps behind; in a peak-then-overfit regime that lag alone can
+        # cost the EMA the peak (measured: the ema arm of the recipe
+        # experiment peaked 0.8 dB below its raw trajectory), so shipping
+        # the EMA unconditionally makes ema_decay a risky knob. Scoring
+        # both makes it at-worst-neutral for one extra (cached,
+        # decode-free) val pass per epoch.
+        raw_val_score = None
+        if state.ema_params is not None:
+            raw_val_score = evaluate_model(
+                state.params["hrnet"],
+                eval_step,
+                val_list,
+                t["min_L"],
+                baseline,
+                top_k=t["n_views"],
+                beta=t["beta"],
+                batch_size=eval_batch,
+                mesh=eval_mesh,
+                prebuilt_batches=val_batches,
+            )
+
+        cand_score, cand_params = val_score, state.eval_params
+        if raw_val_score is not None and raw_val_score < cand_score:
+            cand_score, cand_params = raw_val_score, state.params
+        if cand_score < best_score:
+            best_score = cand_score
             best_epoch = epoch
             # snapshot to host: the next train_step DONATES state buffers
             # (donate_argnums), so keeping device references would return
             # deleted arrays whenever the best epoch isn't the last one
             best = jax.device_get(
-                {"params": state.eval_params, "batch_stats": state.batch_stats}
+                {"params": cand_params, "batch_stats": state.batch_stats}
             )
             # collective in multi-host runs: EVERY process participates
             # (Orbax coordinates; the primary host does the writing)
             ckpt.save_best(best["params"], best["batch_stats"], best_score)
+
+        # scheduler plateaus (and the log prints) the selection-relevant score
+        val_score = cand_score
 
         new_lr = scheduler.step(val_score)
         state = state.with_learning_rate(new_lr)
@@ -596,6 +625,8 @@ def train_and_get_best_model(
         if writer is not None:
             writer.add_scalar("train/loss", train_loss, epoch)
             writer.add_scalar("train/val_loss", val_score, epoch)
+            if raw_val_score is not None:
+                writer.add_scalar("train/val_loss_raw", raw_val_score, epoch)
             writer.add_scalar("train/lr", new_lr, epoch)
             writer.add_scalar("train/mean_abs_shift", mean_abs_shift, epoch)
             writer.add_scalar("train/grad_norm", grad_norm, epoch)

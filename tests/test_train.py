@@ -773,3 +773,25 @@ def test_early_stop_patience(train_root, tmp_path):
     assert latest["epoch"] == 3  # stopped: best at 1, patience 2
     assert latest["best_epoch"] == 1
     assert out["best_score"] == latest["best_score"]
+
+
+def test_ema_best_selection_never_loses_to_raw(train_root, tmp_path):
+    """EMA tracking is passive — it never changes the training trajectory —
+    so best-model selection over {raw, ema} minimizes over a superset of
+    the raw-only candidates and can only match or beat the no-EMA run."""
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["num_epochs"] = 3
+
+    cfg["training"]["ema_decay"] = 0.0
+    raw_out = train_and_get_best_model(
+        cfg, run_dir=str(tmp_path / "raw_run")
+    )
+
+    cfg["training"]["ema_decay"] = 0.9999
+    ema_out = train_and_get_best_model(
+        cfg, run_dir=str(tmp_path / "ema_run")
+    )
+
+    assert ema_out["best_score"] <= raw_out["best_score"]
