@@ -61,6 +61,10 @@ def main():
         "each epoch (extension; the reference never augments)",
     )
     ap.add_argument(
+        "--early-stop-patience", type=int, default=0,
+        help="training.early_stop_patience passthrough (0 = run all epochs)",
+    )
+    ap.add_argument(
         "--run-name", default="run",
         help="checkpoint run-dir name under <root>/ckpt — give each arm of "
         "a multi-arm experiment its own name so resumable runs don't collide",
@@ -150,6 +154,7 @@ def main():
                 "grad_clip_norm": args.grad_clip_norm,
                 "ema_decay": args.ema_decay,
                 "augment_dihedral": args.augment,
+                "early_stop_patience": args.early_stop_patience,
                 "data_parallel": jax.device_count() > 1,
             },
         }
@@ -213,6 +218,7 @@ def main():
             "grad_clip_norm": args.grad_clip_norm,
             "ema_decay": args.ema_decay,
             "augment_dihedral": args.augment,
+            "early_stop_patience": args.early_stop_patience,
             # on a watchdog-relaunched resumable run this is the LAST leg
             # only, not cumulative wall-clock
             "train_seconds": round(train_s, 1),

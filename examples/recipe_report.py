@@ -1,21 +1,26 @@
-"""Merge two identical-protocol quality_experiment arms into one report.
+"""Merge identical-protocol quality_experiment arms into one report.
 
-Both arms must come from the SAME dataset, split and training protocol
+All arms must come from the SAME dataset, split and training protocol
 (quality_experiment records the protocol; this script refuses to compare
 arms whose protocols differ on anything but the recipe knobs under test —
 the ADVICE.md round-2 lesson: never conflate protocol differences with the
 effect being measured).
 
     python examples/recipe_report.py --baseline RECIPE_BASELINE.json \
-        --candidate RECIPE_EMA_AUG.json --out RECIPE_REPORT.json
+        --candidate RECIPE_AUG.json RECIPE_EMA.json --out RECIPE_REPORT.json
 """
 
 import argparse
 import json
 import math
+import os
 
 # knobs an arm is ALLOWED to differ on — everything else must match
 RECIPE_KEYS = {"ema_decay", "augment_dihedral", "grad_clip_norm", "train_seconds", "device"}
+
+# protocol keys added after some reports were generated: a missing key in an
+# older report means its documented default, not a mismatch
+PROTOCOL_DEFAULTS = {"early_stop_patience": 0}
 
 
 def paired_t(deltas):
@@ -31,56 +36,74 @@ def paired_t(deltas):
     return mean / se if se > 0 else None
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--baseline", required=True)
-    ap.add_argument("--candidate", required=True)
-    ap.add_argument("--out", default="RECIPE_REPORT.json")
-    args = ap.parse_args(argv)
-
-    with open(args.baseline) as f:
-        base = json.load(f)
-    with open(args.candidate) as f:
-        cand = json.load(f)
-
+def compare(base, cand, label):
+    """One candidate-vs-baseline block; raises on protocol mismatch."""
     bp, cp = dict(base["protocol"]), dict(cand["protocol"])
     mismatched = {
         k
         for k in (set(bp) | set(cp)) - RECIPE_KEYS
-        if bp.get(k) != cp.get(k)
+        if bp.get(k, PROTOCOL_DEFAULTS.get(k)) != cp.get(k, PROTOCOL_DEFAULTS.get(k))
     }
     if mismatched:
         raise SystemExit(
-            f"protocols differ beyond the recipe knobs: {sorted(mismatched)} — "
-            "rerun the arms under one shared protocol"
+            f"{label}: protocols differ beyond the recipe knobs: "
+            f"{sorted(mismatched)} — rerun the arms under one shared protocol"
         )
 
     b_rows = {r["scene"]: r for r in base["per_scene"]}
     c_rows = {r["scene"]: r for r in cand["per_scene"]}
     if set(b_rows) != set(c_rows):
-        raise SystemExit("arms scored different validation scenes; same split required")
+        raise SystemExit(f"{label}: arms scored different validation scenes")
 
     scenes = sorted(b_rows)
     deltas = [c_rows[s]["mfsr"] - b_rows[s]["mfsr"] for s in scenes]
     mean_delta = sum(deltas) / len(deltas)
     wins = sum(d > 0 for d in deltas)
-
-    report = {
-        "what": "recipe comparison: candidate vs baseline, identical protocol/dataset/split",
-        "protocol": {k: v for k, v in bp.items() if k not in RECIPE_KEYS},
-        "baseline_recipe": {k: bp.get(k) for k in sorted(RECIPE_KEYS - {"train_seconds", "device"})},
-        "candidate_recipe": {k: cp.get(k) for k in sorted(RECIPE_KEYS - {"train_seconds", "device"})},
-        "baseline_mean_shift_cpsnr": base["val_mean_shift_cpsnr"]["mfsr"],
-        "candidate_mean_shift_cpsnr": cand["val_mean_shift_cpsnr"]["mfsr"],
-        "candidate_minus_baseline_db": round(mean_delta, 4),
+    t = paired_t(deltas)
+    return {
+        "recipe": {k: cp.get(k) for k in sorted(RECIPE_KEYS - {"train_seconds", "device"})},
+        "mean_shift_cpsnr": cand["val_mean_shift_cpsnr"]["mfsr"],
+        "minus_baseline_db": round(mean_delta, 4),
         "scenes_where_candidate_wins": f"{wins}/{len(scenes)}",
-        "paired_t": (lambda t: None if t is None else round(t, 3))(paired_t(deltas)),
-        "train_seconds": {"baseline": bp.get("train_seconds"), "candidate": cp.get("train_seconds")},
+        "paired_t": None if t is None else round(t, 3),
+        "train_seconds": cp.get("train_seconds"),
         "per_scene_delta_db": {s: round(d, 4) for s, d in zip(scenes, deltas)},
     }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", required=True)
+    ap.add_argument("--candidate", required=True, nargs="+")
+    ap.add_argument("--out", default="RECIPE_REPORT.json")
+    args = ap.parse_args(argv)
+
+    with open(args.baseline) as f:
+        base = json.load(f)
+
+    bp = dict(base["protocol"])
+    report = {
+        "what": "recipe comparison: each candidate vs the baseline arm, identical protocol/dataset/split",
+        "protocol": {k: v for k, v in bp.items() if k not in RECIPE_KEYS},
+        "baseline": {
+            "recipe": {k: bp.get(k) for k in sorted(RECIPE_KEYS - {"train_seconds", "device"})},
+            "mean_shift_cpsnr": base["val_mean_shift_cpsnr"]["mfsr"],
+            "train_seconds": bp.get("train_seconds"),
+        },
+        "candidates": {},
+    }
+    for path in args.candidate:
+        with open(path) as f:
+            cand = json.load(f)
+        label = os.path.splitext(os.path.basename(path))[0]
+        report["candidates"][label] = compare(base, cand, label)
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps({k: v for k, v in report.items() if k != "per_scene_delta_db"}, indent=2))
+    slim = json.loads(json.dumps(report))
+    for block in slim["candidates"].values():
+        block.pop("per_scene_delta_db")
+    print(json.dumps(slim, indent=2))
 
 
 if __name__ == "__main__":
