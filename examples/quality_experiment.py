@@ -224,6 +224,13 @@ def main():
             "train_seconds": round(train_s, 1),
             "device": str(jax.devices()[0]),
         },
+        # selection evidence (NOT protocol): the loop's internal val optimum
+        # and when it happened — exposes peak-then-overfit timing and lets a
+        # recipe comparison see where each arm's selection landed
+        "selection": {
+            "loop_best_score": round(float(result["best_score"]), 4),
+            "best_epoch": int(result.get("best_epoch", -1)),
+        },
         "val_mean_shift_cpsnr": mean,
         "mfsr_minus_bicubic_db": round(mean["mfsr"] - mean["bicubic"], 3),
         "mfsr_minus_one_view_db": round(mean["mfsr"] - mean["one_view"], 3),

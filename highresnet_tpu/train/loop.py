@@ -665,5 +665,6 @@ def train_and_get_best_model(
         "params": best["params"],
         "batch_stats": best["batch_stats"],
         "best_score": best_score,
+        "best_epoch": best_epoch,
         "run_dir": run_dir,
     }

@@ -772,6 +772,7 @@ def test_early_stop_patience(train_root, tmp_path):
         latest = json.load(f)
     assert latest["epoch"] == 3  # stopped: best at 1, patience 2
     assert latest["best_epoch"] == 1
+    assert out["best_epoch"] == 1
     assert out["best_score"] == latest["best_score"]
 
 
