@@ -96,6 +96,11 @@ def main(argv=None):
         with open(path) as f:
             cand = json.load(f)
         label = os.path.splitext(os.path.basename(path))[0]
+        if label in report["candidates"]:
+            raise SystemExit(
+                f"duplicate candidate label {label!r} (same filename in two "
+                "directories?) — rename one file so no arm is silently dropped"
+            )
         report["candidates"][label] = compare(base, cand, label)
 
     with open(args.out, "w") as f:

@@ -124,6 +124,7 @@ def evaluate_model(
     mesh=None,
     return_images: bool = False,
     prebuilt_batches=None,
+    sample_rng=None,
 ):
     """Validation score over full-resolution scenes.
 
@@ -146,7 +147,13 @@ def evaluate_model(
     # once per batch)
     batches = prebuilt_batches
     if batches is None:
-        batches = build_val_batches(val_scenes, min_l, top_k, beta, batch_size)
+        # sample_rng seeds the clearance-based view sampling; callers that
+        # run in multi-host programs MUST pass one seeded identically on
+        # every process, or hosts would score different view draws and
+        # disagree on val-driven control flow (early stop, best selection)
+        batches = build_val_batches(
+            val_scenes, min_l, top_k, beta, batch_size, rng=sample_rng
+        )
     pending = []  # (names, device scores)
     first_srs = None
     first_hr = None
@@ -531,6 +538,15 @@ def train_and_get_best_model(
 
         # fetch the first val SR only when a writer will log it (an image
         # readback per epoch is wasted bandwidth on remote transports)
+        # cache_val_batches=false: re-sample views each epoch like the
+        # reference, but from an epoch-seeded rng so (a) every host of a
+        # multi-host run draws the same views (val-driven control flow —
+        # early stop, best selection — must agree across processes) and
+        # (b) the raw and EMA candidates below score the SAME draw
+        epoch_val_rng = (
+            None if val_batches is not None
+            else np.random.default_rng((seed, 1000003, epoch))
+        )
         val_out = evaluate_model(
             state.eval_params["hrnet"],
             eval_step,
@@ -543,6 +559,7 @@ def train_and_get_best_model(
             mesh=eval_mesh,
             return_images=writer is not None,
             prebuilt_batches=val_batches,
+            sample_rng=epoch_val_rng,
         )
         if writer is not None:
             val_score, sr0, hr0 = val_out
@@ -557,8 +574,10 @@ def train_and_get_best_model(
         # the EMA unconditionally makes ema_decay a risky knob. Scoring
         # both makes it at-worst-neutral for one extra (cached,
         # decode-free) val pass per epoch.
+        ema_val_score = None
         raw_val_score = None
         if state.ema_params is not None:
+            ema_val_score = val_score
             raw_val_score = evaluate_model(
                 state.params["hrnet"],
                 eval_step,
@@ -570,6 +589,11 @@ def train_and_get_best_model(
                 batch_size=eval_batch,
                 mesh=eval_mesh,
                 prebuilt_batches=val_batches,
+                # fresh rng, same seed tuple: identical draw to the EMA eval
+                sample_rng=(
+                    None if val_batches is not None
+                    else np.random.default_rng((seed, 1000003, epoch))
+                ),
             )
 
         cand_score, cand_params = val_score, state.eval_params
@@ -627,6 +651,7 @@ def train_and_get_best_model(
             writer.add_scalar("train/val_loss", val_score, epoch)
             if raw_val_score is not None:
                 writer.add_scalar("train/val_loss_raw", raw_val_score, epoch)
+                writer.add_scalar("train/val_loss_ema", ema_val_score, epoch)
             writer.add_scalar("train/lr", new_lr, epoch)
             writer.add_scalar("train/mean_abs_shift", mean_abs_shift, epoch)
             writer.add_scalar("train/grad_norm", grad_norm, epoch)

@@ -650,10 +650,13 @@ def test_ema_tracks_params(train_root, tmp_path):
 
 
 def test_ema_loop_selects_ema_weights_and_resumes(train_root, tmp_path):
-    """The loop validates and snapshots EMA weights when enabled: with
-    decay=1.0 the EMA is frozen at init, so the returned best params must
-    equal the (reproducible) init even though the raw params trained away.
-    The resume leg exercises checkpoint restore of the EMA tree."""
+    """The loop snapshots EMA weights when enabled: with decay=1.0 the EMA
+    is frozen at init, and with lr=0 the raw params never leave init either,
+    so selection over {raw, ema} must return exactly the (reproducible)
+    init regardless of which candidate wins the tie. The resume leg
+    exercises checkpoint restore of the EMA tree. (That selection prefers
+    the better of raw/EMA on real trajectories is pinned separately by
+    test_ema_best_selection_never_loses_to_raw.)"""
     import jax
 
     from highresnet_tpu.models import HRNet, ShiftNet
@@ -662,6 +665,7 @@ def test_ema_loop_selects_ema_weights_and_resumes(train_root, tmp_path):
 
     cfg = _tiny_config(train_root, tmp_path)
     cfg["training"]["ema_decay"] = 1.0
+    cfg["training"]["lr"] = 0.0
     run_dir = str(tmp_path / "ema_run")
     out = train_and_get_best_model(cfg, run_dir=run_dir)
 
@@ -745,12 +749,13 @@ def test_val_batch_cache_deterministic_and_equivalent(train_root, tmp_path):
     s2 = evaluate_model(state.params["hrnet"], eval_step, val, prebuilt_batches=batches, **kw)
     assert s1 == s2  # replay is exact
 
-    # same rng seed on-the-fly == the cached build
-    batches2 = build_val_batches(val, 4, 4, 50.0, 2, rng=np_.random.default_rng(5))
-    for (n1, a1), (n2, a2) in zip(batches, batches2):
-        assert n1 == n2
-        for x, y in zip(a1, a2):
-            np_.testing.assert_array_equal(x, y)
+    # the REAL fallback path (no prebuilt batches, evaluate_model builds
+    # internally) must reproduce the cached score given the same seed
+    s3 = evaluate_model(
+        state.params["hrnet"], eval_step, val,
+        sample_rng=np_.random.default_rng(5), **kw,
+    )
+    assert s3 == s1
 
 
 def test_early_stop_patience(train_root, tmp_path):
