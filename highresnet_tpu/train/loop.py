@@ -612,10 +612,17 @@ def train_and_get_best_model(
             # (Orbax coordinates; the primary host does the writing)
             ckpt.save_best(best["params"], best["batch_stats"], best_score)
 
-        # scheduler plateaus (and the log prints) the selection-relevant score
+        # the log prints the selection-relevant (min) score…
         val_score = cand_score
-
-        new_lr = scheduler.step(val_score)
+        # …but the plateau scheduler steps on the RAW score: the lr drives
+        # the raw optimization, and an EMA-influenced lr path would make the
+        # training trajectory depend on a passive readout — with raw-driven
+        # scheduling an ema_decay>0 run's raw trajectory is bit-identical to
+        # the ema=0 run's (verified: identical per-epoch train losses), so
+        # dual selection provably never returns a worse model than raw-only
+        new_lr = scheduler.step(
+            raw_val_score if raw_val_score is not None else val_score
+        )
         state = state.with_learning_rate(new_lr)
 
         # optional early stopping (training.early_stop_patience epochs with
