@@ -76,6 +76,11 @@ def main(argv=None):
     ap.add_argument("--baseline", required=True)
     ap.add_argument("--candidate", required=True, nargs="+")
     ap.add_argument("--out", default="RECIPE_REPORT.json")
+    ap.add_argument(
+        "--note", action="append", default=[],
+        help="free-text annotation(s) carried into the report (interpretation "
+        "context a bare number table would lose)",
+    )
     args = ap.parse_args(argv)
 
     with open(args.baseline) as f:
@@ -92,6 +97,8 @@ def main(argv=None):
         },
         "candidates": {},
     }
+    if args.note:
+        report["notes"] = args.note
     for path in args.candidate:
         with open(path) as f:
             cand = json.load(f)
