@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--lr", type=float, default=7e-4)
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--val-proportion", type=float, default=0.1)
+    ap.add_argument(
+        "--early-stop-patience", type=int, default=0,
+        help="training.early_stop_patience passthrough (0 = run all epochs); "
+        "member parity needs matched stopping, so the same patience applies "
+        "to every seed",
+    )
     ap.add_argument("--max-scenes", type=int, default=40)
     ap.add_argument("--regen", action="store_true")
     ap.add_argument(
@@ -125,6 +131,7 @@ def main():
                     # resumable under the stall-watchdog (wedgy TPU relay)
                     "checkpoint_every": 25,
                     "lr": args.lr,
+                    "early_stop_patience": args.early_stop_patience,
                     "seed": seed,  # the ONLY difference between members
                     "data_parallel": jax.device_count() > 1,
                 },
@@ -358,6 +365,7 @@ def main():
             "batch": args.batch,
             "lr": args.lr,
             "seeds": seeds,
+            "early_stop_patience": args.early_stop_patience,
             "device": str(jax.devices()[0]),
         },
         "member_best_val": {str(s): members[s]["best_val"] for s in seeds},

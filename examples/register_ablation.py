@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--lr", type=float, default=7e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--val-proportion", type=float, default=0.1)
+    ap.add_argument(
+        "--early-stop-patience", type=int, default=0,
+        help="training.early_stop_patience passthrough (0 = run all epochs)",
+    )
     ap.add_argument("--max-scenes", type=int, default=30, help="held-out scenes to score")
     ap.add_argument("--arms", default="unregistered,registered_warmstart,registered_plain")
     ap.add_argument("--regen", action="store_true")
@@ -152,6 +156,7 @@ def main():
         # instead of restarting from scratch
         "checkpoint_every": 25,
         "lr": args.lr,
+        "early_stop_patience": args.early_stop_patience,
         "data_parallel": jax.device_count() > 1,
     }
 
@@ -219,6 +224,7 @@ def main():
             "batch": args.batch,
             "lr": args.lr,
             "val_proportion": args.val_proportion,
+            "early_stop_patience": args.early_stop_patience,
             "device": str(jax.devices()[0]),
         },
         "arms": results,
