@@ -134,8 +134,14 @@ def utilization(flops: float, seconds: float, dtype: str = "float32") -> Dict[st
             "peak_basis_tflops_per_s": round(peak, 1),
         }
     tflops = flops / seconds / 1e12
-    return {
+    out = {
         "achieved_tflops_per_s": round(tflops, 2),
         "mxu_utilization": round(tflops / peak, 3),
         "peak_basis_tflops_per_s": round(peak, 1),
     }
+    if tflops > peak:
+        # a reading above the stated execution basis is physically
+        # impossible — the measured step time is too short (relay timing
+        # jitter); publish the number but mark it untrustworthy
+        out["timing_suspect"] = True
+    return out

@@ -57,7 +57,9 @@ def enable_nan_debugging(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
-def enqueue_timed(step: Callable[[], object], k1: int, k2: int, warmups: int = 2) -> float:
+def enqueue_timed(
+    step: Callable[[], object], k1: int, k2: int, warmups: int = 2, repeats: int = 1
+) -> float:
     """Two-point enqueue timing: seconds per step, relay-safe.
 
     On device transports where block_until_ready is advisory and a scalar
@@ -67,6 +69,12 @@ def enqueue_timed(step: Callable[[], object], k1: int, k2: int, warmups: int = 2
     dispatch/readback overhead. ``step`` executes ONE enqueue and returns
     something sync-able (it may carry state through a closure); this is
     the single home of the protocol used by bench.py and the examples.
+
+    ``repeats > 1`` measures the slope that many times and returns the
+    median: a single relay-jitter event (one slow RTT landing inside one
+    run_k window) corrupts one slope, and at short step times (k2-k1)*dt
+    can be comparable to that jitter — the median discards the outlier
+    instead of averaging it in.
     """
     out = None
     for _ in range(warmups):
@@ -81,5 +89,9 @@ def enqueue_timed(step: Callable[[], object], k1: int, k2: int, warmups: int = 2
         sync(o)
         return time.perf_counter() - t0
 
-    t1, t2 = run_k(k1), run_k(k2)
-    return (t2 - t1) / (k2 - k1)
+    slopes = []
+    for _ in range(max(1, repeats)):
+        t1, t2 = run_k(k1), run_k(k2)
+        slopes.append((t2 - t1) / (k2 - k1))
+    slopes.sort()
+    return slopes[len(slopes) // 2]

@@ -147,6 +147,41 @@ def test_enqueue_timed_measures_slope():
     assert calls["n"] == 1 + 3 + 13
 
 
+def test_enqueue_timed_median_discards_jitter_outlier():
+    """repeats>1 returns the MEDIAN slope: one relay-jitter event corrupting
+    one measurement window must not move the reported number."""
+    import time as _time
+
+    from highresnet_tpu.utils.profiling import enqueue_timed
+
+    calls = {"n": 0}
+
+    def step():
+        calls["n"] += 1
+        _time.sleep(0.001)
+        # one huge jitter event inside the 2nd measurement's k2 window
+        if calls["n"] == 20:
+            _time.sleep(0.2)
+        return None
+
+    dt = enqueue_timed(step, k1=3, k2=13, warmups=1, repeats=3)
+    # the corrupted slope would read ~0.2/10 = 20 ms/step; the median of the
+    # two clean ~1 ms slopes and the corrupted one stays ~1 ms
+    assert 0.0005 < dt < 0.01, dt
+    assert calls["n"] == 1 + 3 * (3 + 13)
+
+
+def test_utilization_flags_impossible_readings():
+    """A measured rate above the stated peak basis is timing noise, not MXU
+    magic — it must be published with a timing_suspect marker."""
+    from highresnet_tpu.utils.flops import utilization
+
+    u = utilization(1e15, 0.001, "float32")  # 1000 TF/s >> any basis
+    assert u["timing_suspect"] is True
+    ok = utilization(1e12, 1.0, "float32")  # 1 TF/s: plausible
+    assert "timing_suspect" not in ok
+
+
 def _load_trace_tool():
     import importlib.util
 
