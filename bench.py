@@ -1,6 +1,7 @@
 """Benchmark: scenes/sec/chip for 16-view 3x SR inference (BASELINE.json metric).
 
-Prints ONE JSON line:
+Prints ONE JSON line (immediately after the headline config, so a relay
+stall in a later config can never cost the round its tracked number):
   {"metric": ..., "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
 
 Baseline derivation: the reference reports < 0.2 s/scene for 3x SR of 32
@@ -13,9 +14,20 @@ Timing protocol: this TPU is reached through a relay where
 block_until_ready is not a true sync and scalar readbacks cost ~1 s RTT,
 so naive timing is wrong in both directions. We enqueue K1 and K2 steps
 (each reduced to a scalar on device), read back one scalar each, and take
-(T2 - T1) / (K2 - K1) — fixed dispatch/readback overhead cancels.
+the median over repeats of (T2 - T1) / (K2 - K1) — fixed dispatch/readback
+overhead cancels, and the median discards single-jitter outliers. A row
+whose implied TFLOP/s still exceeds the physical basis is re-measured once
+with a doubled step window; if it stays impossible it is published with
+`timing_suspect` (never silently).
 
-Details (all configs, compile times) go to BENCH_DETAILS.json.
+Reliability contract (round-3 post-mortem, VERDICT.md): every model init
+is JITTED (eager flax init costs ~76 s/model over a degraded relay — the
+exact failure that produced BENCH_r03 rc=124); HRNet params are
+input-shape-independent, so ONE init serves every inference config and
+dtype variant; BENCH_DETAILS.json is rewritten incrementally after each
+config so a timeout still leaves every completed row on disk.
+
+Details (all configs, compile times, startup) go to BENCH_DETAILS.json.
 """
 
 import json
@@ -24,6 +36,8 @@ import sys
 import time
 
 import numpy as np
+
+_T_PROC0 = time.perf_counter()  # process start, for the startup entry
 
 
 def main(smoke: bool = False):
@@ -44,16 +58,46 @@ def main(smoke: bool = False):
 
     from highresnet_tpu.config import DEFAULT_CONFIG
     from highresnet_tpu.models.hrnet import HRNet
+    from highresnet_tpu.utils.flops import (
+        eval_step_flops,
+        hrnet_forward_flops,
+        train_step_flops,
+        utilization,
+    )
     from highresnet_tpu.utils.profiling import enqueue_timed
 
-    def bench_config(batch, views, size, dtype=jnp.float32, k1=5, k2=25, repeats=3):
-        hrnet = HRNet(config=DEFAULT_CONFIG["network"], dtype=dtype)
-        rng = np.random.default_rng(0)
-        lrs = jnp.asarray(rng.random((batch, views, size, size)), jnp.float32)
-        alphas = jnp.ones((batch, views), jnp.float32)
-        variables = hrnet.init(jax.random.PRNGKey(0), lrs, alphas)
-        params = variables["params"]  # params stay f32; compute in `dtype`
+    details = {"device": str(jax.devices()[0]), "configs": []}
 
+    def log(msg):  # progress to stderr: stdout carries exactly one JSON line
+        print(msg, file=sys.stderr, flush=True)
+
+    def flush_details():
+        # incremental: a timeout in config N still leaves rows 1..N-1 on disk
+        with open("BENCH_DETAILS.json.tmp", "w") as f:
+            json.dump(details, f, indent=2)
+        os.replace("BENCH_DETAILS.json.tmp", "BENCH_DETAILS.json")
+
+    # ---- shared params: HRNet params are input-shape-independent ---------
+    # (all convs; no shape-dependent state), so one JITTED tiny-shape init
+    # serves every inference config and dtype variant below. Params stay
+    # f32 regardless of compute dtype (models cast activations internally).
+    _shared_params = {}
+
+    def shared_params():
+        if "p" not in _shared_params:
+            hrnet = HRNet(config=DEFAULT_CONFIG["network"])
+            t0 = time.perf_counter()
+            variables = jax.jit(hrnet.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 2, 32, 32), jnp.float32),
+                jnp.ones((1, 2), jnp.float32),
+            )
+            jax.block_until_ready(variables)
+            details["shared_init_s"] = round(time.perf_counter() - t0, 3)
+            _shared_params["p"] = variables["params"]
+        return _shared_params["p"]
+
+    def measure_fwd(hrnet, params, lrs, alphas, k1, k2, repeats):
         @jax.jit
         def fwd_sum(p, x, a):
             return jnp.sum(hrnet.apply({"params": p}, x, a).astype(jnp.float32))
@@ -61,9 +105,29 @@ def main(smoke: bool = False):
         t0 = time.perf_counter()
         float(fwd_sum(params, lrs, alphas))
         compile_time = time.perf_counter() - t0
-
         step = enqueue_timed(lambda: fwd_sum(params, lrs, alphas), k1, k2, repeats=repeats)
+        return step, compile_time
+
+    def bench_config(batch, views, size, dtype=jnp.float32, k1=5, k2=25, repeats=3):
+        hrnet = HRNet(config=DEFAULT_CONFIG["network"], dtype=dtype)
+        params = shared_params()
+        rng = np.random.default_rng(0)
+        lrs = jnp.asarray(rng.random((batch, views, size, size)), jnp.float32)
+        alphas = jnp.ones((batch, views), jnp.float32)
+
+        step, compile_time = measure_fwd(hrnet, params, lrs, alphas, k1, k2, repeats)
         dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
+        flops = hrnet_forward_flops(DEFAULT_CONFIG["network"], batch, views, size)
+        util = utilization(flops, step, dtype_name)
+        if util.get("timing_suspect"):
+            # impossible reading = the two-point slope was too short; widen
+            # the differential window (more per-measurement work relative to
+            # one jitter event) and re-measure ONCE before publishing
+            log(f"  timing_suspect at ({batch},{views},{size},{dtype_name}): "
+                f"{util['achieved_tflops_per_s']} TF/s > basis; re-measuring 2x window")
+            step, _ = measure_fwd(hrnet, params, lrs, alphas, 2 * k1, 2 * k2, repeats)
+            util = utilization(flops, step, dtype_name)
+            util["remeasured_wider_window"] = True
         out = {
             "batch": batch,
             "views": views,
@@ -75,14 +139,11 @@ def main(smoke: bool = False):
             "scenes_per_sec": batch / step if step > 0 else None,
             "compile_time_s": compile_time,
         }
-        from highresnet_tpu.utils.flops import hrnet_forward_flops, utilization
-
-        flops = hrnet_forward_flops(DEFAULT_CONFIG["network"], batch, views, size)
-        out.update(utilization(flops, step, dtype_name))
+        out.update(util)
         return out
 
     def bench_train_step(batch=32, views=32, patch=64, dtype=jnp.float32, k1=3, k2=13,
-                         repeats=3):
+                         repeats=3, record_startup=False):
         """Full training step: SR forward + ShiftNet registration + Lanczos
         warp + registered cPSNR loss + joint Adam backward (config #3)."""
         import copy
@@ -90,14 +151,16 @@ def main(smoke: bool = False):
         from highresnet_tpu.models.shiftnet import ShiftNet
         from highresnet_tpu.train.state import create_train_state
         from highresnet_tpu.train.step import build_train_step
-        from highresnet_tpu.utils.flops import train_step_flops, utilization
 
         cfg = copy.deepcopy(DEFAULT_CONFIG)
         cfg["training"].update({"batch_size": batch, "n_views": views, "min_L": views,
                                 "patch_size": patch})
         hrnet = HRNet(config=cfg["network"], dtype=dtype)
         shiftnet = ShiftNet(dtype=dtype)
+        t_init0 = time.perf_counter()
         state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(state.params)
+        init_time = time.perf_counter() - t_init0
         step = build_train_step(hrnet, shiftnet, cfg)
         rng = np.random.default_rng(0)
         args = (
@@ -108,15 +171,13 @@ def main(smoke: bool = False):
         )
         t0 = time.perf_counter()
         state, m = step(state, *args)
-        compile_time = time.perf_counter() - t0
         float(m["loss"])
+        compile_time = time.perf_counter() - t0
 
         def one_step():
             nonlocal state
             state, m = step(state, *args)
             return m["loss"]
-
-        from highresnet_tpu.utils.profiling import enqueue_timed
 
         dt = enqueue_timed(one_step, k1, k2, repeats=repeats)
         dtype_name = str(dtype.__name__ if hasattr(dtype, "__name__") else dtype)
@@ -128,13 +189,36 @@ def main(smoke: bool = False):
             "dtype": dtype_name,
             "step_time_s": dt,
             "scenes_per_sec": batch / dt if dt > 0 else None,
+            "init_time_s": round(init_time, 3),
             "compile_time_s": compile_time,
             "projected_400epoch_1160scene_hours": (
                 400 * 1160 * dt / batch / 3600 if dt > 0 else None
             ),
         }
         flops = train_step_flops(DEFAULT_CONFIG["network"], batch, views, patch)
-        out.update(utilization(flops, dt, dtype_name))
+        util = utilization(flops, dt, dtype_name)
+        if util.get("timing_suspect"):
+            log(f"  timing_suspect at train_step {dtype_name}; re-measuring 2x window")
+            dt = enqueue_timed(one_step, 2 * k1, 2 * k2, repeats=repeats)
+            out["step_time_s"] = dt
+            out["scenes_per_sec"] = batch / dt if dt > 0 else None
+            util = utilization(flops, dt, dtype_name)
+            util["remeasured_wider_window"] = True
+        out.update(util)
+        if record_startup:
+            # cold-start tax a real training run (and every stall-watchdog
+            # relaunch, scripts/supervise_tpu.sh) pays before step 1: jitted
+            # model/optimizer init + train-step compile. Also recorded from
+            # process start for the full import+backend picture.
+            details["startup"] = {
+                "what": "cold start to first completed train step (jitted inits)",
+                "init_time_s": round(init_time, 3),
+                "first_step_compile_s": round(compile_time, 3),
+                "init_plus_first_step_s": round(init_time + compile_time, 3),
+                "process_start_to_first_step_s": round(
+                    time.perf_counter() - _T_PROC0, 3
+                ),
+            }
         return out
 
     def bench_eval_step(batch=8, views=16, size=128, k1=3, k2=13, repeats=3):
@@ -143,23 +227,21 @@ def main(smoke: bool = False):
         from highresnet_tpu.train.step import build_eval_step
 
         hrnet = HRNet(config=DEFAULT_CONFIG["network"])
+        params = shared_params()
         rng = np.random.default_rng(0)
         lrs = jnp.asarray(rng.random((batch, views, size, size)), jnp.float32)
         alphas = jnp.ones((batch, views), jnp.float32)
         hrs = jnp.asarray(rng.random((batch, 3 * size, 3 * size)), jnp.float32)
         maps = jnp.ones((batch, 3 * size, 3 * size), jnp.float32)
-        variables = hrnet.init(jax.random.PRNGKey(0), lrs, alphas)
         eval_step = build_eval_step(hrnet, DEFAULT_CONFIG)
 
         def run_once():
-            _, scores = eval_step(variables["params"], lrs, alphas, hrs, maps)
+            _, scores = eval_step(params, lrs, alphas, hrs, maps)
             return scores
 
         t0 = time.perf_counter()
         float(run_once()[0])
         compile_time = time.perf_counter() - t0
-
-        from highresnet_tpu.utils.profiling import enqueue_timed
 
         dt = enqueue_timed(run_once, k1, k2, repeats=repeats)
         out = {
@@ -171,14 +253,17 @@ def main(smoke: bool = False):
             "scenes_per_sec": batch / dt if dt > 0 else None,
             "compile_time_s": compile_time,
         }
-        from highresnet_tpu.utils.flops import eval_step_flops, utilization
-
-        out.update(
-            utilization(eval_step_flops(DEFAULT_CONFIG["network"], batch, views, size), dt)
-        )
+        flops = eval_step_flops(DEFAULT_CONFIG["network"], batch, views, size)
+        util = utilization(flops, dt)
+        if util.get("timing_suspect"):
+            log("  timing_suspect at eval_step; re-measuring 2x window")
+            dt = enqueue_timed(run_once, 2 * k1, 2 * k2, repeats=repeats)
+            out["step_time_s"] = dt
+            out["scenes_per_sec"] = batch / dt if dt > 0 else None
+            util = utilization(flops, dt)
+            util["remeasured_wider_window"] = True
+        out.update(util)
         return out
-
-    details = {"device": str(jax.devices()[0]), "configs": []}
 
     if smoke:
         # at smoke scale the per-step compute is microseconds while relay
@@ -203,29 +288,12 @@ def main(smoke: bool = False):
         print(json.dumps(out))
         return
 
+    log("[bench] headline config (batch 8, 16 views, 128px, f32)...")
     headline = bench_config(batch=8, views=16, size=128)
     details["configs"].append(headline)
-    # published-config point (32 views @128, V100 baseline 5 scenes/sec)
-    details["configs"].append(bench_config(batch=4, views=32, size=128))
-    # bfloat16 variant of the headline + the throughput-optimal batch
-    details["configs"].append(bench_config(batch=8, views=16, size=128, dtype=jnp.bfloat16))
-    details["configs"].append(
-        bench_config(batch=32, views=16, size=128, dtype=jnp.bfloat16, k1=3, k2=13)
-    )
-    # single-scene latency (reference: < 0.2 s/scene for 32 views @128, V100).
-    # At ~10 ms/step the default (k2-k1)=20-step window is ~0.2 s of
-    # differential work — comparable to one relay-jitter event — so this
-    # config gets a 100-step window on top of the median-of-3 protocol.
-    details["configs"].append(bench_config(batch=1, views=32, size=128, k1=10, k2=110))
-    # full training step (reference: 400 epochs < 9 h on V100), f32 AND bf16
-    details["configs"].append(bench_train_step())
-    details["configs"].append(bench_train_step(dtype=jnp.bfloat16))
-    # validation epoch hot path (full-res scenes + on-device shift search)
-    details["configs"].append(bench_eval_step())
-
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
-
+    flush_details()
+    # the round's tracked number goes out NOW — later configs can only add
+    # detail rows, never cost the headline (round-3 rc=124 post-mortem)
     value = headline["scenes_per_sec"]
     print(
         json.dumps(
@@ -235,8 +303,36 @@ def main(smoke: bool = False):
                 "unit": "scenes/sec/chip",
                 "vs_baseline": round(value / 10.0, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    remaining = [
+        # bfloat16 variant of the headline + the throughput-optimal batch
+        ("bf16 headline", lambda: bench_config(batch=8, views=16, size=128,
+                                               dtype=jnp.bfloat16)),
+        # full training step (reference: 400 epochs < 9 h on V100), f32 AND
+        # bf16; the f32 one also records the cold-start/startup entry
+        ("train step f32", lambda: bench_train_step(record_startup=True)),
+        ("train step bf16", lambda: bench_train_step(dtype=jnp.bfloat16)),
+        # validation epoch hot path (full-res scenes + on-device shift search)
+        ("eval step", lambda: bench_eval_step()),
+        # published-config point (32 views @128, V100 baseline 5 scenes/sec)
+        ("32-view f32", lambda: bench_config(batch=4, views=32, size=128)),
+        ("batch-32 bf16", lambda: bench_config(batch=32, views=16, size=128,
+                                               dtype=jnp.bfloat16, k1=3, k2=13)),
+        # single-scene latency (reference: < 0.2 s/scene for 32 views @128,
+        # V100). At ~10 ms/step the default (k2-k1)=20-step window is ~0.2 s
+        # of differential work — comparable to one relay-jitter event — so
+        # this config gets a 100-step window on top of median-of-3.
+        ("batch-1 latency", lambda: bench_config(batch=1, views=32, size=128,
+                                                 k1=10, k2=110)),
+    ]
+    for name, fn in remaining:
+        log(f"[bench] {name}...")
+        details["configs"].append(fn())
+        flush_details()
+    log("[bench] done; BENCH_DETAILS.json written")
 
 
 if __name__ == "__main__":

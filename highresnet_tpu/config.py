@@ -76,6 +76,18 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # per-scene random D4 rotation/flip each epoch (data/augment.py);
         # the reference never augments. false = off (reference-exact).
         "augment_dihedral": False,
+        # variable-L training: with this probability a scene's view stack is
+        # truncated to a random k in [1, L-1] before collation (alpha marks
+        # the padding, exactly the reference's any-L padding contract,
+        # src/utils.py:89-95) so ONE checkpoint serves 1..L views instead of
+        # specializing to exactly n_views (the VIEWS_ABLATION clip-floor
+        # artifact). 0 = off (reference-exact fixed-L batches).
+        "variable_views_p": 0.0,
+        # loss-time warp window extension: K > 0 decomposes predicted shifts
+        # into an exact integer slice (±K px) + 7-tap fractional pass
+        # (ops/lanczos.py int_range) so the registered loss stays accurate
+        # beyond the reference's ~±3 px. 0 = reference-exact single pass.
+        "warp_int_range": 0,
         # stop when this many epochs pass with no val improvement; the best
         # weights are served either way. 0 = run all epochs (reference-exact).
         "early_stop_patience": 0,

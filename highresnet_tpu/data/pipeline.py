@@ -58,6 +58,7 @@ class BatchLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         augment: bool = False,
+        variable_views_p: float = 0.0,
     ):
         self.scene_dirs = list(scene_dirs)
         self.batch_size = batch_size
@@ -72,6 +73,7 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.augment = augment
+        self.variable_views_p = variable_views_p
         self.epoch = 0
 
     def __len__(self):
@@ -107,6 +109,22 @@ class BatchLoader:
             from highresnet_tpu.data.augment import random_dihedral_imageset
 
             s = random_dihedral_imageset(s, scene_rng)
+        if self.variable_views_p > 0 and s.lr.shape[0] > 1:
+            # variable-L training: with probability p truncate this scene to
+            # a random k in [1, L-1] views (collate zero-pads back to min_L
+            # with alpha=0 — the reference's any-L padding contract,
+            # src/utils.py:89-95). The model then sees every view count each
+            # epoch instead of specializing to exactly n_views, which is
+            # what produced the off-distribution clip-floor artifact
+            # (VIEWS_ABLATION.json). Same epoch-keyed rng as view/patch
+            # sampling: epochs stay reproducible.
+            if scene_rng.random() < self.variable_views_p:
+                import dataclasses
+
+                k = int(scene_rng.integers(1, s.lr.shape[0]))
+                s = dataclasses.replace(
+                    s, lr=s.lr[:k], clearances=s.clearances[:k]
+                )
         return s
 
     def __iter__(self) -> Iterator[Batch]:

@@ -51,8 +51,10 @@ def lanczos_kernel(dx: jax.Array, a: int = 3, n: int = 7) -> jax.Array:
     return k / jnp.sum(k, axis=-1, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("a", "n"))
-def lanczos_shift(img: jax.Array, shift: jax.Array, a: int = 3, n: int = 7) -> jax.Array:
+@partial(jax.jit, static_argnames=("a", "n", "int_range"))
+def lanczos_shift(
+    img: jax.Array, shift: jax.Array, a: int = 3, n: int = 7, int_range: int = 0
+) -> jax.Array:
     """Shift a batch of single-channel images by per-image sub-pixel offsets.
 
     Args:
@@ -62,11 +64,33 @@ def lanczos_shift(img: jax.Array, shift: jax.Array, a: int = 3, n: int = 7) -> j
         each axis (a positive shift moves content toward the origin).
       a: Lanczos lobes.
       n: kernel width (odd).
+      int_range: 0 reproduces the reference's single 7-tap pass exactly
+        (src/lanczos.py:62-101), whose accuracy degrades beyond ~±(n//2) px
+        because the kernel support leaves the tap window. int_range=K > 0
+        decomposes each shift into a rounded integer part (handled by a
+        per-image dynamic_slice on a reflect-padded field, exact for any
+        |d_int| <= K) plus a fractional part in [-0.5, 0.5] px (handled by
+        the 7-tap pass at its accuracy sweet spot) — extending the accurate
+        warp window to ±(K + 0.5) px at negligible extra cost. Static so
+        each value compiles its own program.
 
     Returns:
       (B, H, W) warped images.
     """
     b, h, w = img.shape
+    if int_range:
+        r = int(int_range)
+        d_int = jnp.clip(jnp.round(shift), -r, r)
+        shift = shift - d_int  # fractional remainder, in [-0.5, 0.5] in range
+        padded = jnp.pad(img, ((0, 0), (r, r), (r, r)), mode="reflect")
+
+        def slice_one(p, d):
+            # out[i] = in[i + d_int]: the slice starts at r + d_int in the
+            # padded frame; starts are traced values, shapes stay static
+            return jax.lax.dynamic_slice(p, (r + d[0], r + d[1]), (h, w))
+
+        img = jax.vmap(slice_one)(padded, d_int.astype(jnp.int32))
+
     half = n // 2
     ky = lanczos_kernel(shift[:, 0].astype(img.dtype), a=a, n=n)  # (B, n)
     kx = lanczos_kernel(shift[:, 1].astype(img.dtype), a=a, n=n)  # (B, n)

@@ -70,6 +70,40 @@ _BATCH_SPECS_2D = (
 )
 
 
+def warp_window_px(t: Dict[str, Any]) -> float:
+    """Accurate range of the loss-time Lanczos warp for this config.
+
+    ±3 px for the reference-exact single 7-tap pass
+    (/root/reference/src/lanczos.py:62-101); ±(K + 0.5) px with
+    training.warp_int_range = K (integer/fractional decomposition,
+    ops/lanczos.py)."""
+    k = int(t.get("warp_int_range", 0) or 0)
+    return 3.0 if k <= 0 else k + 0.5
+
+
+def warn_warp_window(
+    t: Dict[str, Any], max_abs_shift: float, epoch: int, already_warned: bool
+) -> bool:
+    """Warn (once per run) when a predicted shift leaves the warp window.
+
+    Shifts beyond the window silently degrade the registered loss — the
+    REGISTER_ABLATION.json protocol-3 failure mode — so leaving it must be
+    LOUD. Returns the updated already_warned flag."""
+    if already_warned or not t.get("register", True):
+        return already_warned
+    window = warp_window_px(t)
+    if max_abs_shift > window:
+        warnings.warn(
+            f"epoch {epoch}: predicted registration shift "
+            f"{max_abs_shift:.2f} px exceeds the warp's accurate window "
+            f"(±{window:.1f} px) — the registered loss is degrading "
+            "alignments it cannot express. Raise training.warp_int_range "
+            "or reduce the misalignment scale."
+        )
+        return True
+    return already_warned
+
+
 def _run_dir_name(t: Dict[str, Any]) -> str:
     stamp = f"{datetime.datetime.now():%Y-%m-%d-%H-%M-%S-%f}"
     return (
@@ -310,6 +344,9 @@ def train_and_get_best_model(
         # D4 train-time augmentation (extension; the reference never
         # flips/rotates — data/augment.py). Off by default.
         augment=t.get("augment_dihedral", False),
+        # variable-L training (one checkpoint serving 1..L views); off by
+        # default (reference-exact fixed-L batches)
+        variable_views_p=float(t.get("variable_views_p", 0.0) or 0.0),
     )
 
     # optional pre-collated epoch cache: trades sampling freshness
@@ -325,6 +362,7 @@ def train_and_get_best_model(
             f"_c{int(t.get('create_patches', True))}_sh{int(t.get('shuffle', True))}"
             f"_d{int(mesh is not None)}_s{seed}_h{proc}_n{len(local_train_list)}"
             f"_a{int(t.get('augment_dihedral', False))}_be{t['beta']:g}"
+            f"_vv{float(t.get('variable_views_p', 0.0) or 0.0):g}"
         )
         cache_dir = os.path.join(
             t.get("epoch_cache_dir") or os.path.join(data_dir, ".epoch_cache"), proto_key
@@ -492,6 +530,7 @@ def train_and_get_best_model(
         except Exception:
             pass  # no best saved yet (e.g. killed before the first eval)
 
+    _warp_warned = False
     for epoch in range(start_epoch, num_epochs + 1):
         step_fn = (
             warm_train_step
@@ -520,9 +559,16 @@ def train_and_get_best_model(
                     metrics["loss"] * len(batch.names),
                     metrics["mean_abs_shift"],
                     metrics["grad_norm"],
+                    # slot 3 accumulates by MAX (warp-window guard), not sum
+                    metrics.get("max_abs_shift", metrics["mean_abs_shift"]),
                 ]
             )
-            epoch_dev = contrib if epoch_dev is None else epoch_dev + contrib
+            if epoch_dev is None:
+                epoch_dev = contrib
+            else:
+                epoch_dev = jnp.concatenate(
+                    [epoch_dev[:3] + contrib[:3], jnp.maximum(epoch_dev[3:], contrib[3:])]
+                )
             n_seen += len(batch.names)
             n_steps_epoch += 1
             steps_done += 1
@@ -533,8 +579,11 @@ def train_and_get_best_model(
             train_loss = float(epoch_sums[0]) / n_seen
             mean_abs_shift = float(epoch_sums[1]) / n_steps_epoch
             grad_norm = float(epoch_sums[2]) / n_steps_epoch
+            max_abs_shift = float(epoch_sums[3])
         else:
-            train_loss = mean_abs_shift = grad_norm = 0.0
+            train_loss = mean_abs_shift = grad_norm = max_abs_shift = 0.0
+
+        _warp_warned = warn_warp_window(t, max_abs_shift, epoch, _warp_warned)
 
         # fetch the first val SR only when a writer will log it (an image
         # readback per epoch is wasted bandwidth on remote transports)
@@ -661,6 +710,7 @@ def train_and_get_best_model(
                 writer.add_scalar("train/val_loss_ema", ema_val_score, epoch)
             writer.add_scalar("train/lr", new_lr, epoch)
             writer.add_scalar("train/mean_abs_shift", mean_abs_shift, epoch)
+            writer.add_scalar("train/max_abs_shift", max_abs_shift, epoch)
             writer.add_scalar("train/grad_norm", grad_norm, epoch)
             if sr0 is not None:
                 # reference logs the first val SR min-max normalized and the

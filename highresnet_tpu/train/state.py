@@ -85,8 +85,17 @@ def create_train_state(
     rs = t.get("register_size", 128)
     k_init, k_drop = jax.random.split(rng)
 
-    hr_vars = hrnet.init(k_init, jnp.zeros((1, max(min_l, 2), p, p)), jnp.ones((1, max(min_l, 2))))
-    sn_vars = shiftnet.init(k_init, jnp.zeros((1, rs, rs, 2)), train=False)
+    # jit both inits: eager flax init dispatches every op separately, which
+    # is pathologically slow over remote device transports (~76 s/model on a
+    # degraded relay vs <1 s jitted — the round-3 bench timeout root cause);
+    # it also cuts real-training cold start, the tax the stall-watchdog pays
+    # on every relaunch (scripts/supervise_tpu.sh)
+    hr_vars = jax.jit(hrnet.init)(
+        k_init, jnp.zeros((1, max(min_l, 2), p, p)), jnp.ones((1, max(min_l, 2)))
+    )
+    sn_vars = jax.jit(lambda k, x: shiftnet.init(k, x, train=False))(
+        k_init, jnp.zeros((1, rs, rs, 2))
+    )
 
     params = {"hrnet": hr_vars["params"], "shiftnet": sn_vars["params"]}
     batch_stats = sn_vars.get("batch_stats", {})

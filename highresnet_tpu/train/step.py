@@ -61,7 +61,7 @@ def _mesh_safe_hrnet(hrnet: HRNet, mesh: Optional[Mesh]) -> HRNet:
 
 def _register_and_warp(
     shiftnet, sn_params, batch_stats, srs, hrs, offset, dropout_rng, train,
-    register_size=REGISTER_SIZE, use_pallas_warp=False,
+    register_size=REGISTER_SIZE, use_pallas_warp=False, warp_int_range=0,
 ):
     """Predict one shift per SR image vs HR and Lanczos-warp the SR frame."""
     b = srs.shape[0]
@@ -87,7 +87,11 @@ def _register_and_warp(
         new_stats = batch_stats
     # net predicts (dx, dy); resampler wants (dy, dx)  [ShiftNet contract]
     shifts = jnp.flip(thetas, axis=-1)
-    if use_pallas_warp:
+    if warp_int_range:
+        # extended-range warp (integer dynamic_slice + 7-tap fractional):
+        # XLA path only — the Pallas kernel hard-codes the single-pass form
+        warped = lanczos_shift(srs, shifts, int_range=warp_int_range)
+    elif use_pallas_warp:
         # backend-dispatching: Pallas kernel on TPU, XLA path elsewhere
         # (Pallas has no compiled CPU lowering)
         from highresnet_tpu.ops.lanczos_pallas import lanczos_shift_fused
@@ -120,6 +124,12 @@ def build_train_step(
     patch = t["patch_size"]
     register_size = t.get("register_size", REGISTER_SIZE)
     use_pallas_warp = bool(t.get("use_pallas_warp", False))
+    # training.warp_int_range=K extends the loss-time warp's accurate window
+    # from the reference's ~±3 px (7-tap Lanczos, src/lanczos.py:62-101) to
+    # ±(K + 0.5) px via integer/fractional decomposition (ops/lanczos.py).
+    # 0 = reference-exact single-pass warp. The loop's max_abs_shift metric
+    # warns loudly when predicted shifts leave the configured window.
+    warp_int_range = int(t.get("warp_int_range", 0) or 0)
     # training.register=False trains WITHOUT ShiftNet registration (loss on
     # the raw SR frame) — the paper's Table 4 ablation arm; the reference
     # code always registers, the paper compares both
@@ -148,6 +158,7 @@ def build_train_step(
             warped, thetas, new_stats = _register_and_warp(
                 shiftnet, params["shiftnet"], batch_stats, srs, hrs, offset, dropout_rng,
                 train=True, register_size=register_size, use_pallas_warp=use_pallas_warp,
+                warp_int_range=warp_int_range,
             )
         else:  # unregistered arm: raw SR vs HR, no shift penalty term
             warped, new_stats = srs, batch_stats
@@ -180,6 +191,9 @@ def build_train_step(
         metrics = {
             "loss": loss,
             "mean_abs_shift": jnp.mean(jnp.abs(thetas)),
+            # window guard: the loop warns when predicted shifts leave the
+            # warp's accurate range (±3 px single-pass, ±(K+0.5) extended)
+            "max_abs_shift": jnp.max(jnp.abs(thetas)),
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics

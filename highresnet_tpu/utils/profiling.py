@@ -15,6 +15,7 @@ permanently-enabled torch anomaly detector (src/train.py:156). Here:
 from __future__ import annotations
 
 import contextlib
+import statistics
 import time
 from typing import Callable
 
@@ -93,5 +94,6 @@ def enqueue_timed(
     for _ in range(max(1, repeats)):
         t1, t2 = run_k(k1), run_k(k2)
         slopes.append((t2 - t1) / (k2 - k1))
-    slopes.sort()
-    return slopes[len(slopes) // 2]
+    # statistics.median averages the two middle slopes for even repeats;
+    # indexing len//2 would bias toward the slower (jitter-inflated) one
+    return float(statistics.median(slopes))

@@ -492,3 +492,44 @@ def test_pack_write_is_atomic(dataset_root):
     assert not os.path.exists(out + ".tmp")
     assert load_pack(scene) is not None
     os.remove(out)
+
+
+def test_batch_loader_variable_views(dataset_root):
+    """variable_views_p truncates scenes to random k in [1, L-1]; collate
+    zero-pads back so batch shapes stay STATIC and alpha marks the padding
+    (the reference's any-L contract, src/utils.py:89-95)."""
+    scenes = discover_scenes(f"{dataset_root}/train")
+    loader = BatchLoader(
+        scenes, batch_size=6, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=8, seed=7, num_workers=2,
+        variable_views_p=1.0,
+    )
+    batch = next(iter(loader))
+    assert batch.lrs.shape == (6, 4, 8, 8)  # static shape preserved
+    counts = batch.alphas.sum(axis=1)
+    assert counts.min() >= 1
+    # with p=1 every scene is truncated below the full 4 views
+    assert counts.max() < 4, counts
+    # padded views are zeroed wherever alpha says padding
+    for i in range(6):
+        k = int(counts[i])
+        assert np.all(batch.alphas[i, :k] == 1.0)
+        assert np.all(batch.alphas[i, k:] == 0.0)
+        assert np.all(batch.lrs[i, k:] == 0.0)
+
+    # reproducible: same seed/epoch -> identical draws
+    loader2 = BatchLoader(
+        scenes, batch_size=6, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=8, seed=7, num_workers=2,
+        variable_views_p=1.0,
+    )
+    batch2 = next(iter(loader2))
+    np.testing.assert_array_equal(batch.alphas, batch2.alphas)
+    np.testing.assert_array_equal(batch.lrs, batch2.lrs)
+
+    # p=0 is the reference-exact fixed-L path
+    loader0 = BatchLoader(
+        scenes, batch_size=6, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=8, seed=7, num_workers=2,
+    )
+    assert next(iter(loader0)).alphas.sum() == 24

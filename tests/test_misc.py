@@ -160,15 +160,25 @@ def test_enqueue_timed_median_discards_jitter_outlier():
         calls["n"] += 1
         _time.sleep(0.001)
         # one huge jitter event inside the 2nd measurement's k2 window
-        if calls["n"] == 20:
+        # (call layout with warmups=1, k1=3, k2=13: warmup=1; repeat 1 =
+        # calls 2-4 / 5-17; repeat 2 = 18-20 / 21-33 — call 25 lands in
+        # repeat 2's k2 window, producing the POSITIVE ~+20 ms/step
+        # outlier slope the median protocol exists to discard)
+        if calls["n"] == 25:
             _time.sleep(0.2)
         return None
 
     dt = enqueue_timed(step, k1=3, k2=13, warmups=1, repeats=3)
-    # the corrupted slope would read ~0.2/10 = 20 ms/step; the median of the
+    # the corrupted slope reads ~0.2/10 = +20 ms/step; the median of the
     # two clean ~1 ms slopes and the corrupted one stays ~1 ms
     assert 0.0005 < dt < 0.01, dt
     assert calls["n"] == 1 + 3 * (3 + 13)
+
+    # even repeats: median must AVERAGE the two middle slopes, not return
+    # the upper-middle (which would re-admit a jitter-inflated reading)
+    calls["n"] = 0
+    dt2 = enqueue_timed(step, k1=3, k2=13, warmups=1, repeats=2)
+    assert 0.0005 < dt2 < 0.015, dt2
 
 
 def test_utilization_flags_impossible_readings():

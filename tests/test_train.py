@@ -801,3 +801,49 @@ def test_ema_best_selection_never_loses_to_raw(train_root, tmp_path):
     )
 
     assert ema_out["best_score"] <= raw_out["best_score"]
+
+
+def test_warp_int_range_step_and_window_guard(train_root, tmp_path):
+    """training.warp_int_range compiles the extended-range warp into the
+    registered step (finite loss, max_abs_shift metric present), and the
+    loop's warp-window guard warns exactly once when shifts leave it."""
+    import warnings as _warnings
+
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.loop import warn_warp_window, warp_window_px
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["warp_int_range"] = 4
+    scenes = discover_scenes(f"{train_root}/train")
+    loader = BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )
+    batch = next(iter(loader))
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+    state = create_train_state(hrnet, shiftnet, cfg, jax.random.PRNGKey(0))
+    step = build_train_step(hrnet, shiftnet, cfg)
+    state, metrics = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["max_abs_shift"]) >= float(metrics["mean_abs_shift"]) - 1e-6
+
+    # window math: ±3 px reference-exact, ±(K+0.5) px decomposed
+    assert warp_window_px({"warp_int_range": 0}) == 3.0
+    assert warp_window_px({}) == 3.0
+    assert warp_window_px({"warp_int_range": 4}) == 4.5
+
+    # guard semantics: warns once, only when registering and over-window
+    t = {"register": True, "warp_int_range": 0}
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert warn_warp_window(t, 2.0, 1, False) is False
+        assert warn_warp_window(t, 3.5, 2, False) is True  # fires
+        assert warn_warp_window(t, 5.0, 3, True) is True  # once per run
+        assert warn_warp_window({"register": False}, 9.0, 4, False) is False
+    assert len(w) == 1 and "warp" in str(w[0].message)
