@@ -61,6 +61,17 @@ def main():
         "each epoch (extension; the reference never augments)",
     )
     ap.add_argument(
+        "--lr-decay", type=float, default=0.97,
+        help="training.lr_decay passthrough (plateau factor; 1.0 = constant "
+        "LR — the regime where parameter EMA should shine)",
+    )
+    ap.add_argument(
+        "--variable-views-p", type=float, default=0.0,
+        help="training.variable_views_p passthrough: per-scene probability "
+        "of truncating to a random view count so one checkpoint serves "
+        "1..n_views (the VIEWS_ABLATION clip-floor fix)",
+    )
+    ap.add_argument(
         "--early-stop-patience", type=int, default=0,
         help="training.early_stop_patience passthrough (0 = run all epochs)",
     )
@@ -151,9 +162,11 @@ def main():
                 "eval_batch_size": 4,
                 "checkpoint_every": args.checkpoint_every,
                 "lr": args.lr,
+                "lr_decay": args.lr_decay,
                 "grad_clip_norm": args.grad_clip_norm,
                 "ema_decay": args.ema_decay,
                 "augment_dihedral": args.augment,
+                "variable_views_p": args.variable_views_p,
                 "early_stop_patience": args.early_stop_patience,
                 "data_parallel": jax.device_count() > 1,
             },
@@ -213,11 +226,13 @@ def main():
             "batch": args.batch,
             "patch": args.patch,
             "lr": args.lr,
+            "lr_decay": args.lr_decay,
             "seed": args.seed,
             "val_proportion": args.val_proportion,
             "grad_clip_norm": args.grad_clip_norm,
             "ema_decay": args.ema_decay,
             "augment_dihedral": args.augment,
+            "variable_views_p": args.variable_views_p,
             "early_stop_patience": args.early_stop_patience,
             # on a watchdog-relaunched resumable run this is the LAST leg
             # only, not cumulative wall-clock
@@ -230,6 +245,10 @@ def main():
         "selection": {
             "loop_best_score": round(float(result["best_score"]), 4),
             "best_epoch": int(result.get("best_epoch", -1)),
+            # with ema_decay > 0: which weights the dual selection shipped
+            # plus the per-epoch EMA-vs-raw win tally (win-or-retire
+            # evidence, VERDICT round-3 item 6)
+            **({"ema": result["ema_selection"]} if "ema_selection" in result else {}),
         },
         "val_mean_shift_cpsnr": mean,
         "mfsr_minus_bicubic_db": round(mean["mfsr"] - mean["bicubic"], 3),

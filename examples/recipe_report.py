@@ -16,11 +16,18 @@ import math
 import os
 
 # knobs an arm is ALLOWED to differ on — everything else must match
-RECIPE_KEYS = {"ema_decay", "augment_dihedral", "grad_clip_norm", "train_seconds", "device"}
+RECIPE_KEYS = {
+    "ema_decay",
+    "augment_dihedral",
+    "grad_clip_norm",
+    "variable_views_p",
+    "train_seconds",
+    "device",
+}
 
 # protocol keys added after some reports were generated: a missing key in an
 # older report means its documented default, not a mismatch
-PROTOCOL_DEFAULTS = {"early_stop_patience": 0}
+PROTOCOL_DEFAULTS = {"early_stop_patience": 0, "lr_decay": 0.97, "variable_views_p": 0.0}
 
 
 def paired_t(deltas):

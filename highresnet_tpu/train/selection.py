@@ -1,0 +1,90 @@
+"""Best-model selection: EMA dual scoring, best-weights tracking, early stop.
+
+Split out of train/loop.py (round-3 verdict: the monolith tax). Each piece
+keeps the loop's measured semantics:
+
+- EMA dual selection (``dual_candidates``): with training.ema_decay > 0,
+  BOTH the EMA and the raw weights are scored each epoch and selection
+  takes the winner — an EMA at decay d lags ~1/(1-d) steps, which in a
+  peak-then-overfit regime can cost it the peak (measured −0.8 dB,
+  RECIPE_REPORT.json); dual scoring makes the knob at-worst-neutral.
+- Best tracking (``BestTracker``): snapshots winning weights to HOST
+  memory (the next train step donates state buffers) and persists them via
+  the checkpoint manager (collective in multi-host runs).
+- Early stopping: optional, patience-based; the reference always runs all
+  epochs (0 = reference-exact).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+
+
+def dual_candidates(
+    state, primary_score: float, eval_raw: Callable[[Any], float]
+) -> Tuple[float, Any, Optional[float], Optional[float]]:
+    """Pick the candidate weights for best-model selection this epoch.
+
+    ``primary_score`` is the score of ``state.eval_params`` (the EMA weights
+    when ema_decay > 0, else the raw ones). With EMA on, ``eval_raw`` is
+    called to score the raw weights on the SAME val draw and the lower
+    (better) candidate wins.
+
+    Returns (cand_score, cand_params, raw_val_score, ema_val_score); the
+    last two are None when EMA is off (nothing extra was scored).
+    """
+    if state.ema_params is None:
+        return primary_score, state.eval_params, None, None
+    raw_score = eval_raw(state.params["hrnet"])
+    if raw_score < primary_score:
+        return raw_score, state.params, raw_score, primary_score
+    return primary_score, state.eval_params, raw_score, primary_score
+
+
+class BestTracker:
+    """Tracks the best validation score/epoch and the winning weights.
+
+    ``update`` snapshots improving weights to host memory (device buffers
+    are donated by the next train step) and saves them through the
+    checkpoint manager. ``early_stop`` implements the optional
+    patience-based stop (0 = off, reference-exact).
+    """
+
+    def __init__(self, ckpt, patience: int = 0):
+        self.ckpt = ckpt
+        self.patience = int(patience or 0)
+        self.best_score = float("inf")
+        self.best_epoch = 0
+        self.best = None  # host snapshot {'params', 'batch_stats'}
+        # EMA-vs-raw evidence (populated by the loop when ema_decay > 0):
+        # which source produced the served best, and the per-epoch tally
+        self.best_source = None  # 'ema' | 'raw' | None (EMA off)
+        self.ema_wins = 0
+        self.raw_wins = 0
+
+    def seed(self, best, score: float = float("inf"), epoch: int = 0) -> None:
+        """Initialize from a restore (or the fresh init weights)."""
+        self.best = best
+        self.best_score = score
+        self.best_epoch = epoch
+
+    def update(self, epoch: int, score: float, params, batch_stats) -> bool:
+        """Record (and persist) a new best; returns True when it improved."""
+        if score >= self.best_score:
+            return False
+        self.best_score = score
+        self.best_epoch = epoch
+        # snapshot to host: the next train_step DONATES state buffers
+        # (donate_argnums), so keeping device references would return
+        # deleted arrays whenever the best epoch isn't the last one
+        self.best = jax.device_get({"params": params, "batch_stats": batch_stats})
+        # collective in multi-host runs: EVERY process participates
+        # (Orbax coordinates; the primary host does the writing)
+        self.ckpt.save_best(self.best["params"], self.best["batch_stats"], score)
+        return True
+
+    def early_stop(self, epoch: int) -> bool:
+        """True when `patience` epochs passed with no val improvement."""
+        return self.patience > 0 and (epoch - self.best_epoch) >= self.patience

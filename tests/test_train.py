@@ -318,7 +318,7 @@ def test_evaluate_model_guards_and_padding(train_root, tmp_path):
             clearances=np.ones(4),
         )
 
-    import highresnet_tpu.train.loop as loop_mod
+    import highresnet_tpu.train.evaluation as loop_mod  # val scoring home
 
     orig = loop_mod.read_imageset
     loop_mod.read_imageset = fake_read
