@@ -78,8 +78,14 @@ class BestTracker:
         self.best_epoch = epoch
         # snapshot to host: the next train_step DONATES state buffers
         # (donate_argnums), so keeping device references would return
-        # deleted arrays whenever the best epoch isn't the last one
-        self.best = jax.device_get({"params": params, "batch_stats": batch_stats})
+        # deleted arrays whenever the best epoch isn't the last one. The
+        # explicit np.array guards the zero-copy cases (host-resident
+        # buffers on the CPU backend) against that same donation reuse.
+        import numpy as np
+
+        self.best = jax.tree_util.tree_map(
+            np.array, jax.device_get({"params": params, "batch_stats": batch_stats})
+        )
         # collective in multi-host runs: EVERY process participates
         # (Orbax coordinates; the primary host does the writing)
         self.ckpt.save_best(self.best["params"], self.best["batch_stats"], score)
