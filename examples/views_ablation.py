@@ -54,6 +54,7 @@ def main():
         return jax.image.resize(jnp.asarray(img), (3 * h, 3 * w), method="cubic")
 
     per_k = {k: [] for k in args.views}
+    per_k_overflow = {k: [] for k in args.views}
     cubic_scores = []
     for d in val:
         s = read_imageset(d, top_k=max_views, beta=50.0)
@@ -63,11 +64,22 @@ def main():
             batch = collate([s], k)  # truncates to the k clearest views
             sr = fwd(params, jnp.asarray(batch.lrs), jnp.asarray(batch.alphas))[0]
             per_k[k].append(score(sr))
+            # clip-floor evidence: how far the raw output leaves [0,1]
+            # before the metric clips it (the off-distribution L artifact
+            # that variable-L training exists to remove)
+            overflow = float(jnp.maximum(jnp.max(sr - 1.0), jnp.max(-sr)))
+            per_k_overflow[k].append(max(0.0, overflow))
         cubic_scores.append(score(bicubic_x3(s.lr[0])))
 
     bicubic = float(np.mean(cubic_scores))
     table = [
-        {"views": k, "mean_shift_cpsnr": float(np.mean(v)), "vs_bicubic_db": round(float(np.mean(v)) - bicubic, 3)}
+        {
+            "views": k,
+            "mean_shift_cpsnr": float(np.mean(v)),
+            "vs_bicubic_db": round(float(np.mean(v)) - bicubic, 3),
+            # >0.05 is the eval path's warn_out_of_range threshold
+            "max_out_of_range": round(float(np.max(per_k_overflow[k])), 4),
+        }
         for k, v in sorted(per_k.items())
     ]
     report = {
