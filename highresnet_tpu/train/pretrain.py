@@ -47,6 +47,7 @@ def pretrain_shiftnet(
     max_shift: float = 3.0,
     lr: float = 1e-4,
     batch_size: int = 32,
+    warp_int_range: int = 0,
 ) -> Tuple[dict, dict, float]:
     """Supervised warm-start of ShiftNet on known Lanczos shifts.
 
@@ -60,9 +61,13 @@ def pretrain_shiftnet(
         states).
       steps: number of Adam steps.
       sigma: std-dev of the Gaussian (dy, dx) offsets to train on; clipped
-        to ±max_shift (the Lanczos N=7 window is accurate to |d| <= 3 px).
+        to ±max_shift (which should equal the training warp's accurate
+        window: 3 px single-pass, K+0.5 with warp_int_range=K).
       lr: Adam learning rate.
       batch_size: pairs per step (images are sampled with replacement).
+      warp_int_range: generate the training pairs with the SAME warp the
+        registered loss will use (ops/lanczos.py int_range semantics), so
+        an extended-window run warm-starts on its full shift range.
 
     Returns:
       (params, batch_stats, final_shift_rmse_px).
@@ -91,7 +96,7 @@ def pretrain_shiftnet(
         d = jnp.clip(
             sigma * jax.random.normal(d_rng, (batch_size, 2)), -max_shift, max_shift
         )  # (dy, dx)
-        refs = lanczos_shift(moving, d)
+        refs = lanczos_shift(moving, d, int_range=warp_int_range)
         pairs = jnp.stack([refs, moving], axis=-1)
         target = jnp.flip(d, axis=-1)  # theta = (dx, dy)
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -135,6 +135,10 @@ def maybe_warmstart_shiftnet(state, shiftnet, t, train_list, seed, is_primary):
 
     register_size = t.get("register_size", 128)
     pool = hr_crop_pool(train_list, register_size)
+    # cap and generate the warm-start shifts with the SAME warp window the
+    # registered loss will use (±3 px single-pass; ±(K+0.5) extended)
+    from highresnet_tpu.train.loop import warp_window_px
+
     sn_params, sn_stats, rmse = pretrain_shiftnet(
         shiftnet,
         state.params["shiftnet"],
@@ -143,6 +147,8 @@ def maybe_warmstart_shiftnet(state, shiftnet, t, train_list, seed, is_primary):
         jax.random.PRNGKey(seed + 1),
         steps=warmup_steps,
         sigma=t.get("shiftnet_warmup_sigma", 1.5),
+        max_shift=warp_window_px(t),
+        warp_int_range=int(t.get("warp_int_range", 0) or 0),
     )
     state = state.replace(
         params={**state.params, "shiftnet": sn_params}, batch_stats=sn_stats
