@@ -22,11 +22,9 @@ from __future__ import annotations
 import datetime
 import os
 import time
-import warnings
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from highresnet_tpu.data.probav import (
@@ -46,6 +44,11 @@ from highresnet_tpu.parallel.distributed import (
 )
 from highresnet_tpu.parallel.mesh import put_with_specs, shard_batch
 from highresnet_tpu.train.checkpoint import CheckpointManager
+from highresnet_tpu.train.epoch import (  # re-exported (public surface)
+    run_train_epoch,
+    warn_warp_window,
+    warp_window_px,
+)
 from highresnet_tpu.train.evaluation import (  # re-exported (public surface)
     BATCH_SPECS as _BATCH_SPECS,
     build_val_batches,
@@ -74,40 +77,6 @@ _BATCH_SPECS_2D = (
     _P("data", None, None),
     _P("data", None, None),
 )
-
-
-def warp_window_px(t: Dict[str, Any]) -> float:
-    """Accurate range of the loss-time Lanczos warp for this config.
-
-    ±3 px for the reference-exact single 7-tap pass
-    (/root/reference/src/lanczos.py:62-101); ±(K + 0.5) px with
-    training.warp_int_range = K (integer/fractional decomposition,
-    ops/lanczos.py)."""
-    k = int(t.get("warp_int_range", 0) or 0)
-    return 3.0 if k <= 0 else k + 0.5
-
-
-def warn_warp_window(
-    t: Dict[str, Any], max_abs_shift: float, epoch: int, already_warned: bool
-) -> bool:
-    """Warn (once per run) when a predicted shift leaves the warp window.
-
-    Shifts beyond the window silently degrade the registered loss — the
-    REGISTER_ABLATION.json protocol-3 failure mode — so leaving it must be
-    LOUD. Returns the updated already_warned flag."""
-    if already_warned or not t.get("register", True):
-        return already_warned
-    window = warp_window_px(t)
-    if max_abs_shift > window:
-        warnings.warn(
-            f"epoch {epoch}: predicted registration shift "
-            f"{max_abs_shift:.2f} px exceeds the warp's accurate window "
-            f"(±{window:.1f} px) — the registered loss is degrading "
-            "alignments it cannot express. Raise training.warp_int_range "
-            "or reduce the misalignment scale."
-        )
-        return True
-    return already_warned
 
 
 def _run_dir_name(t: Dict[str, Any]) -> str:
@@ -321,6 +290,17 @@ def train_and_get_best_model(
             scheduler.load_state_dict(host_state["scheduler"])
         state = state.with_learning_rate(scheduler.lr)
 
+    # host-array placement for each train batch (identity off-mesh)
+    if multihost:
+        # each host contributes its local shard of the global batch
+        feed = lambda args: make_global_batch(mesh, args, _BATCH_SPECS)
+    elif shard_views:
+        feed = lambda args: put_with_specs(mesh, args, _BATCH_SPECS_2D)
+    elif mesh is not None:
+        feed = lambda args: shard_batch(mesh, args)
+    else:
+        feed = lambda args: args
+
     steps_done = 0
     num_epochs = t["num_epochs"]
     _warp_warned = False
@@ -330,51 +310,19 @@ def train_and_get_best_model(
             if (warm_train_step is not None and epoch <= register_warmup)
             else train_step
         )
-        # accumulate the loss ON DEVICE: reading a scalar back per step
-        # would force a host sync every step (very expensive on remote
-        # device transports); one readback per epoch instead
-        epoch_dev = None  # (loss*n, mean_abs_shift, grad_norm, max_abs_shift)
-        n_seen = 0
-        n_steps_epoch = 0
-        t0 = time.time()
-        for batch in loader:
-            args = (batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
-            if multihost:
-                # each host contributes its local shard of the global batch
-                args = make_global_batch(mesh, args, _BATCH_SPECS)
-            elif shard_views:
-                args = put_with_specs(mesh, args, _BATCH_SPECS_2D)
-            elif mesh is not None:
-                args = shard_batch(mesh, args)
-            state, metrics = step_fn(state, *args)
-            contrib = jnp.stack(
-                [
-                    metrics["loss"] * len(batch.names),
-                    metrics["mean_abs_shift"],
-                    metrics["grad_norm"],
-                    # slot 3 accumulates by MAX (warp-window guard), not sum
-                    metrics.get("max_abs_shift", metrics["mean_abs_shift"]),
-                ]
-            )
-            if epoch_dev is None:
-                epoch_dev = contrib
-            else:
-                epoch_dev = jnp.concatenate(
-                    [epoch_dev[:3] + contrib[:3], jnp.maximum(epoch_dev[3:], contrib[3:])]
-                )
-            n_seen += len(batch.names)
-            n_steps_epoch += 1
-            steps_done += 1
-            if max_steps is not None and steps_done >= max_steps:
-                break
-        if n_seen:
-            epoch_sums = np.asarray(epoch_dev)  # one host sync per epoch
-            train_loss = float(epoch_sums[0]) / n_seen
-            mean_abs_shift = float(epoch_sums[1]) / n_steps_epoch
-            grad_norm = float(epoch_sums[2]) / n_steps_epoch
-            max_abs_shift = float(epoch_sums[3])
-        else:
-            train_loss = mean_abs_shift = grad_norm = max_abs_shift = 0.0
+        state, estats, n_steps = run_train_epoch(
+            loader,
+            state,
+            step_fn,
+            feed,
+            steps_left=None if max_steps is None else max_steps - steps_done,
+        )
+        steps_done += n_steps
+        train_loss = estats["train_loss"]
+        mean_abs_shift = estats["mean_abs_shift"]
+        grad_norm = estats["grad_norm"]
+        max_abs_shift = estats["max_abs_shift"]
+        t0 = time.time() - estats["seconds"]
 
         _warp_warned = warn_warp_window(t, max_abs_shift, epoch, _warp_warned)
 

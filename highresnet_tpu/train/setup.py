@@ -137,7 +137,7 @@ def maybe_warmstart_shiftnet(state, shiftnet, t, train_list, seed, is_primary):
     pool = hr_crop_pool(train_list, register_size)
     # cap and generate the warm-start shifts with the SAME warp window the
     # registered loss will use (±3 px single-pass; ±(K+0.5) extended)
-    from highresnet_tpu.train.loop import warp_window_px
+    from highresnet_tpu.train.epoch import warp_window_px
 
     sn_params, sn_stats, rmse = pretrain_shiftnet(
         shiftnet,
