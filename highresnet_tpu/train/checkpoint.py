@@ -127,3 +127,39 @@ def load_params(checkpoint_dir: str, template: Dict[str, Any]) -> Dict[str, Any]
     ckptr = ocp.StandardCheckpointer()
     path = os.path.join(os.path.abspath(checkpoint_dir), "best")
     return ckptr.restore(path, jax.device_get(template))
+
+
+def resume_run(ckpt: CheckpointManager, state, tracker, scheduler, *, multihost, mesh):
+    """Restore a run's full state for relaunch; returns (state, start_epoch).
+
+    Multi-host: every process restores from the same (shared-storage)
+    run_dir so train states stay identical; process 0 alone writes. Seeds
+    `tracker` from the SAVED best weights: the restored best_score belongs
+    to the epoch that wrote best/, and if the remaining epochs never beat
+    it (or the loop won't run at all after a relaunch of a finished run),
+    returning the restored CURRENT state would mislabel non-best weights
+    with the score."""
+    restored, host_state = ckpt.restore_state(state)
+    if restored is None:
+        return state, 1
+    if multihost:
+        from highresnet_tpu.parallel.distributed import replicate_to_mesh
+
+        restored = replicate_to_mesh(mesh, restored)
+    state = restored
+    start_epoch = host_state.get("epoch", 0) + 1
+    best = tracker.best
+    try:
+        best = ckpt.load_best(best)
+    except Exception:
+        pass  # no best saved yet (e.g. killed before the first eval)
+    # older checkpoints lack best_epoch; seeding it with the restored
+    # epoch is conservative (a resume never instantly early-stops)
+    tracker.seed(
+        best,
+        host_state.get("best_score", float("inf")),
+        host_state.get("best_epoch", start_epoch - 1),
+    )
+    if "scheduler" in host_state:
+        scheduler.load_state_dict(host_state["scheduler"])
+    return state.with_learning_rate(scheduler.lr), start_epoch

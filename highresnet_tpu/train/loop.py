@@ -33,17 +33,12 @@ from highresnet_tpu.data.probav import (
     train_val_split,
 )
 from highresnet_tpu.data.pipeline import shard_for_hosts
-from highresnet_tpu.models.hrnet import HRNet
-from highresnet_tpu.models.shiftnet import ShiftNet
 from highresnet_tpu.parallel.distributed import (
     broadcast_string,
     is_multihost,
-    make_global_batch,
     maybe_initialize,
-    replicate_to_mesh,
 )
-from highresnet_tpu.parallel.mesh import put_with_specs, shard_batch
-from highresnet_tpu.train.checkpoint import CheckpointManager
+from highresnet_tpu.train.checkpoint import CheckpointManager, resume_run
 from highresnet_tpu.train.epoch import (  # re-exported (public surface)
     run_train_epoch,
     warn_warp_window,
@@ -57,26 +52,13 @@ from highresnet_tpu.train.evaluation import (  # re-exported (public surface)
 from highresnet_tpu.train.schedule import ReduceLROnPlateau
 from highresnet_tpu.train.selection import BestTracker, dual_candidates
 from highresnet_tpu.train.setup import (
+    build_models_and_steps,
     build_train_loader,
-    maybe_warmstart_shiftnet,
+    make_feed,
+    maybe_warmstart_shiftnet,  # noqa: F401  re-exported (public surface)
     setup_mesh,
 )
-from highresnet_tpu.train.state import create_train_state
-from highresnet_tpu.train.step import build_eval_step, build_train_step
 from highresnet_tpu.train.tb import TBWriter
-
-from jax.sharding import PartitionSpec as _P
-
-# 2-D (data x view) layout: the LR stack's view axis is sharded too, so the
-# encoder's folded (B*L) conv batch spans both mesh axes; HR targets only
-# have a batch axis (SURVEY.md §2: the view axis is the one to shard as L
-# grows; same specs as __graft_entry__.dryrun_multichip's 2-D leg)
-_BATCH_SPECS_2D = (
-    _P("data", "view", None, None),
-    _P("data", "view"),
-    _P("data", None, None),
-    _P("data", None, None),
-)
 
 
 def _run_dir_name(t: Dict[str, Any]) -> str:
@@ -155,60 +137,20 @@ def train_and_get_best_model(
         data_dir=data_dir,
     )
 
-    # --- models / state -------------------------------------------------------
-    from highresnet_tpu.models.hrnet import resolve_compute_dtypes
-
-    dtype, decoder_dtype = resolve_compute_dtypes(t.get("compute_dtype"))
-    net_config = config["network"]
-    if mesh is not None and net_config.get("recursive", {}).get("use_pallas_pack") is None:
-        # a Pallas call cannot be auto-partitioned by the SPMD compiler, so
-        # mesh-sharded training pins the XLA pair-pack path unless the
-        # config explicitly opts in (single-chip runs keep the kernel)
-        import copy as _copy
-
-        net_config = _copy.deepcopy(net_config)
-        net_config.setdefault("recursive", {})["use_pallas_pack"] = False
-    hrnet = HRNet(config=net_config, dtype=dtype, decoder_dtype=decoder_dtype)
-    shiftnet = ShiftNet(dtype=dtype)
-    state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
-    state = maybe_warmstart_shiftnet(state, shiftnet, t, train_list, seed, is_primary)
-
-    if multihost:
-        # identical seeded init on every process -> replicate onto the
-        # global mesh (grads then all-reduce over ICI within a host and
-        # DCN across hosts, inserted by jit)
-        state = replicate_to_mesh(mesh, state)
-
-    train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh, shard_views=shard_views)
-    # registration curriculum: train the fusion model WITHOUT loss-time
-    # registration for the first N epochs, then enable it — lets HRNet form
-    # a stable output frame before ShiftNet's predictions steer the loss
-    register_warmup = int(t.get("register_warmup_epochs", 0) or 0)
-    warm_train_step = None
-    if register_warmup > 0 and t.get("register", True):
-        import copy as _copy
-
-        warm_cfg = _copy.deepcopy(config)
-        warm_cfg["training"]["register"] = False
-        warm_train_step = build_train_step(
-            hrnet, shiftnet, warm_cfg, mesh=mesh, shard_views=shard_views
-        )
-    # the eval step rides the same mesh when the eval batch divides it
-    # (padded final batches keep the compiled shape static); batch=1
-    # stays single-device like the reference val loop (src/train.py:284)
-    eval_batch = t.get("eval_batch_size", 1)
-    eval_mesh = None
-    if mesh is not None and eval_batch > 1:
-        # round the eval batch UP to a multiple of the DATA axis so the
-        # sharded eval step always engages on a mesh (evaluate_model pads
-        # short batches to the static compiled shape, so any val-set size
-        # works); the old divisibility requirement silently fell back to
-        # one-device eval on any pod with more devices than eval_batch_size.
-        # On a 2-D (data x view) mesh, eval shards scenes over 'data' only
-        n_dev = mesh.shape["data"]
-        eval_batch = ((eval_batch + n_dev - 1) // n_dev) * n_dev
-        eval_mesh = mesh
-    eval_step = build_eval_step(hrnet, config, mesh=eval_mesh, replicate_out=multihost)
+    # --- models / state / compiled steps (setup.py) ---------------------------
+    pieces = build_models_and_steps(
+        config,
+        mesh,
+        shard_views,
+        multihost=multihost,
+        seed=seed,
+        train_list=train_list,
+        is_primary=is_primary,
+    )
+    state = pieces.state
+    train_step, warm_train_step = pieces.train_step, pieces.warm_train_step
+    register_warmup = pieces.register_warmup
+    eval_step, eval_batch, eval_mesh = pieces.eval_step, pieces.eval_batch, pieces.eval_mesh
 
     # pre-collate the (fixed) validation set once: per-epoch re-read +
     # re-collate dominated epoch wall-clock at paper scale on a 1-core
@@ -253,53 +195,19 @@ def train_and_get_best_model(
     writer = TBWriter(paths.get("tb_log_file_dir"), os.path.basename(run_dir),
                       enabled=is_primary)
 
-    # --- resume ---------------------------------------------------------------
-    # multi-host: every process restores from the same (shared-storage)
-    # run_dir so train states stay identical; process 0 alone writes
-    restored, host_state = ckpt.restore_state(state)
-    if multihost and restored is not None:
-        restored = replicate_to_mesh(mesh, restored)
-    start_epoch = 1
+    # --- resume (checkpoint.py::resume_run) -----------------------------------
     # with training.ema_decay > 0, validation and best-model selection score
     # the EMA weights (state.eval_params); otherwise the raw ones
     tracker = BestTracker(ckpt, patience=t.get("early_stop_patience", 0))
     tracker.seed(
         jax.device_get({"params": state.eval_params, "batch_stats": state.batch_stats})
     )
-    if restored is not None:
-        state = restored
-        start_epoch = host_state.get("epoch", 0) + 1
-        # older checkpoints lack best_epoch; seeding it with the restored
-        # epoch is conservative (a resume never instantly early-stops)
-        best = tracker.best
-        try:
-            # ANY resume must seed from the SAVED best weights: the restored
-            # best_score belongs to the epoch that wrote best/, and if the
-            # remaining epochs never beat it (or the loop won't run at all
-            # after a relaunch of a finished run), returning the restored
-            # CURRENT state would mislabel non-best weights with the score
-            best = ckpt.load_best(best)
-        except Exception:
-            pass  # no best saved yet (e.g. killed before the first eval)
-        tracker.seed(
-            best,
-            host_state.get("best_score", float("inf")),
-            host_state.get("best_epoch", start_epoch - 1),
-        )
-        if "scheduler" in host_state:
-            scheduler.load_state_dict(host_state["scheduler"])
-        state = state.with_learning_rate(scheduler.lr)
+    state, start_epoch = resume_run(
+        ckpt, state, tracker, scheduler, multihost=multihost, mesh=mesh
+    )
 
     # host-array placement for each train batch (identity off-mesh)
-    if multihost:
-        # each host contributes its local shard of the global batch
-        feed = lambda args: make_global_batch(mesh, args, _BATCH_SPECS)
-    elif shard_views:
-        feed = lambda args: put_with_specs(mesh, args, _BATCH_SPECS_2D)
-    elif mesh is not None:
-        feed = lambda args: shard_batch(mesh, args)
-    else:
-        feed = lambda args: args
+    feed = make_feed(mesh, multihost=multihost, shard_views=shard_views)
 
     steps_done = 0
     num_epochs = t["num_epochs"]

@@ -8,13 +8,14 @@ epoch cache), and the ShiftNet warm-start — each a pure function so
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from highresnet_tpu.data.pipeline import BatchLoader
 from highresnet_tpu.parallel.mesh import make_mesh
+from highresnet_tpu.train.step import build_eval_step, build_train_step
 
 
 def setup_mesh(t: Dict[str, Any], multihost: bool):
@@ -120,6 +121,145 @@ def build_train_loader(
         )
         loader = EpochCache(loader, cache_dir, n_variants=cache_variants)
     return loader
+
+
+class RunPieces(NamedTuple):
+    """Everything model-shaped a training run needs, built in one place."""
+
+    state: Any
+    train_step: Any
+    warm_train_step: Optional[Any]  # registration-curriculum step (or None)
+    register_warmup: int
+    eval_step: Any
+    eval_batch: int
+    eval_mesh: Optional[Any]
+
+
+def build_models_and_steps(
+    config: Dict[str, Any],
+    mesh,
+    shard_views: bool,
+    *,
+    multihost: bool,
+    seed: int,
+    train_list: List[str],
+    is_primary: bool,
+) -> RunPieces:
+    """Construct models, the (warm-started, possibly replicated) train state,
+    and the compiled train/eval steps for one run.
+
+    Mesh-aware details handled here so the loop stays orchestration-only:
+    Pallas pack is pinned off under SPMD partitioning (a custom call cannot
+    be auto-partitioned), the registration curriculum gets its own
+    register=False step, and the eval batch is rounded up to the mesh's
+    data axis so sharded eval always engages (evaluate_model pads short
+    batches to the static compiled shape)."""
+    import copy as _copy
+
+    from highresnet_tpu.models.hrnet import HRNet, resolve_compute_dtypes
+    from highresnet_tpu.models.shiftnet import ShiftNet
+    from highresnet_tpu.parallel.distributed import replicate_to_mesh
+    from highresnet_tpu.train.state import create_train_state
+
+    t = config["training"]
+    dtype, decoder_dtype = resolve_compute_dtypes(t.get("compute_dtype"))
+    net_config = config["network"]
+    if mesh is not None and net_config.get("recursive", {}).get("use_pallas_pack") is None:
+        net_config = _copy.deepcopy(net_config)
+        net_config.setdefault("recursive", {})["use_pallas_pack"] = False
+    hrnet = HRNet(config=net_config, dtype=dtype, decoder_dtype=decoder_dtype)
+    shiftnet = ShiftNet(dtype=dtype)
+    state = create_train_state(hrnet, shiftnet, config, jax.random.PRNGKey(seed))
+    init_from = t.get("init_params_from") or ""
+    if init_from:
+        # fine-tune: seed params/BN stats from another run's best/ snapshot
+        # (training.init_params_from = that run's run_dir). The optimizer
+        # starts fresh (standard fine-tune practice) and, with EMA on, the
+        # EMA tracker starts AT the loaded point (same no-debias convention
+        # as create_train_state). Unlike resume, this changes no schedule
+        # or epoch bookkeeping — it is a new run that starts from trained
+        # weights (e.g. variable-L fine-tuning of a fixed-L checkpoint).
+        from highresnet_tpu.train.checkpoint import load_params
+
+        restored = load_params(
+            init_from, {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats") or state.batch_stats,
+            ema_params=(
+                jax.tree_util.tree_map(jnp.copy, restored["params"])
+                if state.ema_params is not None
+                else None
+            ),
+        )
+        if is_primary:
+            print(f"init: params loaded from {init_from}/best", flush=True)
+    state = maybe_warmstart_shiftnet(state, shiftnet, t, train_list, seed, is_primary)
+    if multihost:
+        # identical seeded init on every process -> replicate onto the
+        # global mesh (grads then all-reduce over ICI within a host and
+        # DCN across hosts, inserted by jit)
+        state = replicate_to_mesh(mesh, state)
+
+    train_step = build_train_step(hrnet, shiftnet, config, mesh=mesh, shard_views=shard_views)
+    # registration curriculum: train the fusion model WITHOUT loss-time
+    # registration for the first N epochs, then enable it — lets HRNet form
+    # a stable output frame before ShiftNet's predictions steer the loss
+    register_warmup = int(t.get("register_warmup_epochs", 0) or 0)
+    warm_train_step = None
+    if register_warmup > 0 and t.get("register", True):
+        warm_cfg = _copy.deepcopy(config)
+        warm_cfg["training"]["register"] = False
+        warm_train_step = build_train_step(
+            hrnet, shiftnet, warm_cfg, mesh=mesh, shard_views=shard_views
+        )
+
+    # the eval step rides the same mesh when eval_batch_size > 1; batch=1
+    # stays single-device like the reference val loop (src/train.py:284)
+    eval_batch = t.get("eval_batch_size", 1)
+    eval_mesh = None
+    if mesh is not None and eval_batch > 1:
+        # round UP to a multiple of the DATA axis (2-D meshes shard eval
+        # over 'data' only); the old divisibility rule silently fell back
+        # to one-device eval on pods with more devices than eval_batch_size
+        n_dev = mesh.shape["data"]
+        eval_batch = ((eval_batch + n_dev - 1) // n_dev) * n_dev
+        eval_mesh = mesh
+    eval_step = build_eval_step(hrnet, config, mesh=eval_mesh, replicate_out=multihost)
+    return RunPieces(
+        state, train_step, warm_train_step, register_warmup, eval_step, eval_batch, eval_mesh
+    )
+
+
+def make_feed(mesh, *, multihost: bool, shard_views: bool):
+    """Host-array placement for each train batch (identity off-mesh).
+
+    2-D (data x view) layout: the LR stack's view axis is sharded too, so
+    the encoder's folded (B*L) conv batch spans both mesh axes; HR targets
+    only have a batch axis (SURVEY.md §2: the view axis is the one to shard
+    as L grows; same specs as __graft_entry__.dryrun_multichip's 2-D leg).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from highresnet_tpu.parallel.distributed import make_global_batch
+    from highresnet_tpu.parallel.mesh import put_with_specs, shard_batch
+    from highresnet_tpu.train.evaluation import BATCH_SPECS
+
+    specs_2d = (
+        P("data", "view", None, None),
+        P("data", "view"),
+        P("data", None, None),
+        P("data", None, None),
+    )
+    if multihost:
+        # each host contributes its local shard of the global batch
+        return lambda args: make_global_batch(mesh, args, BATCH_SPECS)
+    if shard_views:
+        return lambda args: put_with_specs(mesh, args, specs_2d)
+    if mesh is not None:
+        return lambda args: shard_batch(mesh, args)
+    return lambda args: args
 
 
 def maybe_warmstart_shiftnet(state, shiftnet, t, train_list, seed, is_primary):

@@ -259,7 +259,7 @@ def test_loop_level_2d_mesh_matches_1d(tmp_path):
 
     import jax
 
-    import highresnet_tpu.train.loop as L
+    import highresnet_tpu.train.setup as S
     from highresnet_tpu.data.synth import make_synthetic_dataset
     from highresnet_tpu.train.loop import train_and_get_best_model
 
@@ -287,7 +287,7 @@ def test_loop_level_2d_mesh_matches_1d(tmp_path):
     }
 
     losses = {}
-    orig_build = L.build_train_step
+    orig_build = S.build_train_step
 
     def capturing_build(*a, **k):
         step = orig_build(*a, **k)
@@ -301,7 +301,7 @@ def test_loop_level_2d_mesh_matches_1d(tmp_path):
         return wrapped
 
     _current = [None]
-    L.build_train_step = capturing_build
+    S.build_train_step = capturing_build
     try:
         for name, mesh_cfg in (("1d", {"data": 4}), ("2d", {"data": 2, "view": 2})):
             cfg = copy.deepcopy(base)
@@ -311,7 +311,7 @@ def test_loop_level_2d_mesh_matches_1d(tmp_path):
             losses[name] = []
             train_and_get_best_model(cfg)
     finally:
-        L.build_train_step = orig_build
+        S.build_train_step = orig_build
 
     assert len(losses["1d"]) == len(losses["2d"]) == 3, losses  # 12 scenes / batch 4
     np.testing.assert_allclose(losses["1d"], losses["2d"], rtol=1e-4, atol=1e-5)
