@@ -76,6 +76,12 @@ def main():
         help="training.early_stop_patience passthrough (0 = run all epochs)",
     )
     ap.add_argument(
+        "--init-from", default="",
+        help="training.init_params_from passthrough: fine-tune from another "
+        "run's best/ snapshot (value = that run's run_dir) instead of a "
+        "fresh init — e.g. variable-L fine-tuning of a fixed-L checkpoint",
+    )
+    ap.add_argument(
         "--run-name", default="run",
         help="checkpoint run-dir name under <root>/ckpt — give each arm of "
         "a multi-arm experiment its own name so resumable runs don't collide",
@@ -168,6 +174,7 @@ def main():
                 "augment_dihedral": args.augment,
                 "variable_views_p": args.variable_views_p,
                 "early_stop_patience": args.early_stop_patience,
+                "init_params_from": args.init_from,
                 "data_parallel": jax.device_count() > 1,
             },
         }
@@ -234,6 +241,7 @@ def main():
             "augment_dihedral": args.augment,
             "variable_views_p": args.variable_views_p,
             "early_stop_patience": args.early_stop_patience,
+            "init_params_from": args.init_from,
             # on a watchdog-relaunched resumable run this is the LAST leg
             # only, not cumulative wall-clock
             "train_seconds": round(train_s, 1),

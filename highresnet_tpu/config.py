@@ -83,6 +83,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # specializing to exactly n_views (the VIEWS_ABLATION clip-floor
         # artifact). 0 = off (reference-exact fixed-L batches).
         "variable_views_p": 0.0,
+        # fine-tune: load params + BN stats from another run's best/ snapshot
+        # (value = that run's run_dir) into a FRESH run — new optimizer, new
+        # schedule, new run_dir. Distinct from resume (which restores the
+        # full train state in the same run_dir). "" = off.
+        "init_params_from": "",
         # loss-time warp window extension: K > 0 decomposes predicted shifts
         # into an exact integer slice (±K px) + 7-tap fractional pass
         # (ops/lanczos.py int_range) so the registered loss stays accurate

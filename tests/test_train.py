@@ -847,3 +847,45 @@ def test_warp_int_range_step_and_window_guard(train_root, tmp_path):
         assert warn_warp_window(t, 5.0, 3, True) is True  # once per run
         assert warn_warp_window({"register": False}, 9.0, 4, False) is False
     assert len(w) == 1 and "warp" in str(w[0].message)
+
+
+def test_init_params_from_finetunes_saved_best(train_root, tmp_path):
+    """training.init_params_from seeds a FRESH run (new optimizer/schedule)
+    from another run's best/ snapshot — fine-tune, not resume."""
+    import jax
+
+    from highresnet_tpu.train.loop import train_and_get_best_model
+    from highresnet_tpu.train.setup import build_models_and_steps
+
+    cfg = _tiny_config(train_root, tmp_path)
+    donor_dir = str(tmp_path / "donor_run")
+    donor = train_and_get_best_model(cfg, run_dir=donor_dir)
+
+    from highresnet_tpu.data import discover_scenes
+
+    train_list = discover_scenes(f"{train_root}/train")
+
+    cfg2 = _tiny_config(train_root, tmp_path)
+    cfg2["training"]["init_params_from"] = donor_dir
+    cfg2["training"]["ema_decay"] = 0.99  # EMA must start AT the loaded point
+    pieces = build_models_and_steps(
+        cfg2, None, False, multihost=False, seed=123,
+        train_list=train_list, is_primary=True,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        jax.device_get(pieces.state.params), donor["params"],
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        jax.device_get(pieces.state.ema_params), donor["params"],
+    )
+    # fresh optimizer: Adam moments start at zero despite the loaded params
+    mu = jax.tree_util.tree_leaves(pieces.state.opt_state.inner_state[0].mu)
+    assert all(float(np.abs(m).max()) == 0.0 for m in mu)
+
+    # and the loop accepts the knob end-to-end (1 epoch, loads then trains)
+    cfg3 = _tiny_config(train_root, tmp_path)
+    cfg3["training"]["init_params_from"] = donor_dir
+    out = train_and_get_best_model(cfg3)
+    assert np.isfinite(out["best_score"])
