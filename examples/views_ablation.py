@@ -31,6 +31,12 @@ def main():
 
     import jax
 
+    # sitecustomize pins jax_platforms=axon,cpu over the env var; honor an
+    # explicit JAX_PLATFORMS request (same convention as bench.py) so CPU
+    # smoke runs don't grab the TPU relay
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}")
     import jax.numpy as jnp
 
@@ -55,6 +61,7 @@ def main():
 
     per_k = {k: [] for k in args.views}
     per_k_overflow = {k: [] for k in args.views}
+    per_k_overflow_scored = {k: [] for k in args.views}
     cubic_scores = []
     for d in val:
         s = read_imageset(d, top_k=max_views, beta=50.0)
@@ -69,6 +76,12 @@ def main():
             # that variable-L training exists to remove)
             overflow = float(jnp.maximum(jnp.max(sr - 1.0), jnp.max(-sr)))
             per_k_overflow[k].append(max(0.0, overflow))
+            # same, restricted to the region shift_cpsnr actually scores
+            # (it trims a 3-px border, ops/metrics.py:42 — overflow that
+            # lives only in the trim is cosmetic, never scored)
+            inner = sr[3:-3, 3:-3]
+            ov_in = float(jnp.maximum(jnp.max(inner - 1.0), jnp.max(-inner)))
+            per_k_overflow_scored[k].append(max(0.0, ov_in))
         cubic_scores.append(score(bicubic_x3(s.lr[0])))
 
     bicubic = float(np.mean(cubic_scores))
@@ -79,6 +92,10 @@ def main():
             "vs_bicubic_db": round(float(np.mean(v)) - bicubic, 3),
             # >0.05 is the eval path's warn_out_of_range threshold
             "max_out_of_range": round(float(np.max(per_k_overflow[k])), 4),
+            # overflow inside the border-trimmed region the metric scores
+            "max_out_of_range_scored": round(
+                float(np.max(per_k_overflow_scored[k])), 4
+            ),
         }
         for k, v in sorted(per_k.items())
     ]
