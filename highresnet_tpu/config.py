@@ -70,8 +70,16 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # territory while healthy seeds reach 16 dB); set ~1.0 to rescue.
         "grad_clip_norm": 0.0,
         # parameter EMA decay; > 0 tracks an exponential moving average of
-        # both models' params inside the train step and scores/ships the
-        # EMA weights (train/state.py). 0 = off (reference-exact).
+        # both models' params inside the train step; best-model selection
+        # then scores BOTH raw and EMA weights each epoch and ships the
+        # winner (train/state.py, train/selection.py). 0 = off
+        # (reference-exact) — and the measured recommendation: dual
+        # selection makes the knob at-worst-neutral, but it has never been
+        # observed to WIN (plateau-decay paper scale: harmful under the old
+        # EMA-only selection, neutral under dual; constant-LR arms at 0.99
+        # and 0.999 both shipped raw weights with identical best scores —
+        # RECIPE_EMA_{BASE,99,999}.json). Keep it off unless your protocol
+        # shows otherwise via the returned ema_selection evidence.
         "ema_decay": 0.0,
         # per-scene random D4 rotation/flip each epoch (data/augment.py);
         # the reference never augments. false = off (reference-exact).
