@@ -76,6 +76,11 @@ def main():
         help="training.early_stop_patience passthrough (0 = run all epochs)",
     )
     ap.add_argument(
+        "--range-penalty", type=float, default=0.0,
+        help="training.range_penalty passthrough: penalize SR output that "
+        "leaves [0,1] (clip-floor artifact root fix at the loss level)",
+    )
+    ap.add_argument(
         "--init-from", default="",
         help="training.init_params_from passthrough: fine-tune from another "
         "run's best/ snapshot (value = that run's run_dir) instead of a "
@@ -175,6 +180,7 @@ def main():
                 "variable_views_p": args.variable_views_p,
                 "early_stop_patience": args.early_stop_patience,
                 "init_params_from": args.init_from,
+                "range_penalty": args.range_penalty,
                 "data_parallel": jax.device_count() > 1,
             },
         }
@@ -242,6 +248,7 @@ def main():
             "variable_views_p": args.variable_views_p,
             "early_stop_patience": args.early_stop_patience,
             "init_params_from": args.init_from,
+            "range_penalty": args.range_penalty,
             # on a watchdog-relaunched resumable run this is the LAST leg
             # only, not cumulative wall-clock
             "train_seconds": round(train_s, 1),

@@ -91,6 +91,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # specializing to exactly n_views (the VIEWS_ABLATION clip-floor
         # artifact). 0 = off (reference-exact fixed-L batches).
         "variable_views_p": 0.0,
+        # out-of-range output penalty: > 0 adds rp * mean(relu(sr-1) +
+        # relu(-sr)) on the raw SR output — drives the clip-floor artifact
+        # (outputs leaving [0,1] at untrained view counts) to zero at the
+        # loss level. 0 = off (reference-exact loss).
+        "range_penalty": 0.0,
         # fine-tune: load params + BN stats from another run's best/ snapshot
         # (value = that run's run_dir) into a FRESH run — new optimizer, new
         # schedule, new run_dir. Distinct from resume (which restores the

@@ -151,6 +151,11 @@ def build_train_step(
     ema_decay = float(t.get("ema_decay", 0.0) or 0.0)
     if not 0.0 <= ema_decay <= 1.0:
         raise ValueError(f"training.ema_decay must be in [0, 1], got {ema_decay}")
+    # training.range_penalty > 0 adds rp * mean(relu(sr-1) + relu(-sr)) on
+    # the RAW SR output — the quantity eval clips and warn_out_of_range
+    # flags (the clip-floor artifact, VIEWS_ABLATION.json). 0 = off
+    # (reference-exact loss; the reference has no such term).
+    range_penalty = float(t.get("range_penalty", 0.0) or 0.0)
 
     def loss_fn(params, batch_stats, dropout_rng, lrs, alphas, hrs, hr_maps):
         srs = hrnet.apply({"params": params["hrnet"]}, lrs, alphas)
@@ -165,6 +170,9 @@ def build_train_step(
             thetas = jnp.zeros((srs.shape[0], 2), srs.dtype)
         mask = border_mask[None] * hr_maps
         loss = registered_loss(warped, hrs, mask, thetas, lam, metric=loss_metric)
+        if range_penalty > 0:
+            overflow = jax.nn.relu(srs - 1.0) + jax.nn.relu(-srs)
+            loss = loss + range_penalty * jnp.mean(overflow.astype(jnp.float32))
         return loss, (new_stats, thetas)
 
     def step(state: TrainState, lrs, alphas, hrs, hr_maps):

@@ -889,3 +889,50 @@ def test_init_params_from_finetunes_saved_best(train_root, tmp_path):
     cfg3["training"]["init_params_from"] = donor_dir
     out = train_and_get_best_model(cfg3)
     assert np.isfinite(out["best_score"])
+
+
+def test_range_penalty_targets_out_of_range_output(train_root, tmp_path):
+    """training.range_penalty adds rp * mean(relu(sr-1) + relu(-sr)) on the
+    raw SR output; 0 keeps the reference-exact loss bit-identical."""
+    import jax
+
+    from highresnet_tpu.data import BatchLoader, discover_scenes
+    from highresnet_tpu.models import HRNet, ShiftNet
+    from highresnet_tpu.train.state import create_train_state
+    from highresnet_tpu.train.step import build_train_step
+
+    cfg = _tiny_config(train_root, tmp_path)
+    scenes = discover_scenes(f"{train_root}/train")
+    loader = BatchLoader(
+        scenes, batch_size=2, min_l=4, top_k=4, beta=50.0,
+        create_patches=True, patch_size=16, seed=0, num_workers=1, drop_last=True,
+    )
+    batch = next(iter(loader))
+    hrnet = HRNet(config=cfg["network"])
+    shiftnet = ShiftNet()
+
+    losses = {}
+    params0 = None
+    for rp in (0.0, 7.0):
+        import copy
+
+        c = copy.deepcopy(cfg)
+        c["training"]["range_penalty"] = rp
+        # the step donates its state buffers: rebuild the (identically
+        # seeded) state per arm instead of reusing deleted arrays
+        state = create_train_state(hrnet, shiftnet, c, jax.random.PRNGKey(0))
+        if params0 is None:
+            params0 = jax.device_get(state.params)
+        step = build_train_step(hrnet, shiftnet, c)
+        _, metrics = step(state, batch.lrs, batch.alphas, batch.hrs, batch.hr_maps)
+        losses[rp] = float(metrics["loss"])
+
+    # random-init output leaves [0,1] (see the views-ablation clip-floor
+    # evidence), so the penalized loss must sit strictly above the base
+    # loss, and the gap must scale with rp
+    sr = hrnet.apply({"params": params0["hrnet"]}, batch.lrs, batch.alphas)
+    overflow = float(
+        np.mean(np.maximum(np.asarray(sr) - 1.0, 0) + np.maximum(-np.asarray(sr), 0))
+    )
+    assert overflow > 0  # precondition: the penalty has something to bite
+    np.testing.assert_allclose(losses[7.0] - losses[0.0], 7.0 * overflow, rtol=1e-3)
