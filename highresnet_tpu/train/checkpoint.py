@@ -101,7 +101,13 @@ class CheckpointManager:
 
     # -- best weights for inference ------------------------------------------
 
-    def save_best(self, params: Dict[str, Any], batch_stats: Dict[str, Any], score: float) -> None:
+    def save_best(
+        self,
+        params: Dict[str, Any],
+        batch_stats: Dict[str, Any],
+        score: float,
+        epoch: Optional[int] = None,
+    ) -> None:
         """Synchronous: `best/` is complete on return (inference may read it)."""
         self._ckptr.wait_until_finished()
         path = os.path.join(self.run_dir, "best")
@@ -109,12 +115,26 @@ class CheckpointManager:
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
         if self._primary:
+            meta = {"score": float(score)}
+            if epoch is not None:
+                meta["epoch"] = int(epoch)
             with open(os.path.join(self.run_dir, "best_score.json"), "w") as f:
-                json.dump({"score": float(score)}, f)
+                json.dump(meta, f)
 
     def load_best(self, template: Dict[str, Any]) -> Dict[str, Any]:
         path = os.path.join(self.run_dir, "best")
         return self._ckptr.restore(path, jax.device_get(template))
+
+    def read_best_score(self) -> Dict[str, Any]:
+        """The sidecar written synchronously WITH best/ — it labels those
+        exact weights. latest.json's best_score can be older: full-state
+        saves are async and slot-gated, so after a crash between a best/
+        save and the next committed slot the two disagree (best/ newer)."""
+        try:
+            with open(os.path.join(self.run_dir, "best_score.json")) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
 
     def wait(self) -> None:
         """Block until in-flight async saves are durable and pointed to."""
@@ -149,17 +169,23 @@ def resume_run(ckpt: CheckpointManager, state, tracker, scheduler, *, multihost,
     state = restored
     start_epoch = host_state.get("epoch", 0) + 1
     best = tracker.best
-    try:
-        best = ckpt.load_best(best)
-    except Exception:
-        pass  # no best saved yet (e.g. killed before the first eval)
+    best_score = host_state.get("best_score", float("inf"))
     # older checkpoints lack best_epoch; seeding it with the restored
     # epoch is conservative (a resume never instantly early-stops)
-    tracker.seed(
-        best,
-        host_state.get("best_score", float("inf")),
-        host_state.get("best_epoch", start_epoch - 1),
-    )
+    best_epoch = host_state.get("best_epoch", start_epoch - 1)
+    try:
+        best = ckpt.load_best(best)
+        # best_score.json labels the best/ weights EXACTLY (written
+        # synchronously with them); latest.json can lag a full-state save
+        # interval behind, so pairing its score with best/ weights would
+        # mislabel them after a crash inside that window
+        meta = ckpt.read_best_score()
+        if "score" in meta and meta["score"] <= best_score:
+            best_score = meta["score"]
+            best_epoch = meta.get("epoch", best_epoch)
+    except Exception:
+        pass  # no best saved yet (e.g. killed before the first eval)
+    tracker.seed(best, best_score, best_epoch)
     if "scheduler" in host_state:
         scheduler.load_state_dict(host_state["scheduler"])
     return state.with_learning_rate(scheduler.lr), start_epoch

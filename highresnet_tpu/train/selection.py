@@ -88,7 +88,7 @@ class BestTracker:
         )
         # collective in multi-host runs: EVERY process participates
         # (Orbax coordinates; the primary host does the writing)
-        self.ckpt.save_best(self.best["params"], self.best["batch_stats"], score)
+        self.ckpt.save_best(self.best["params"], self.best["batch_stats"], score, epoch=epoch)
         return True
 
     def early_stop(self, epoch: int) -> bool:

@@ -936,3 +936,38 @@ def test_range_penalty_targets_out_of_range_output(train_root, tmp_path):
     )
     assert overflow > 0  # precondition: the penalty has something to bite
     np.testing.assert_allclose(losses[7.0] - losses[0.0], 7.0 * overflow, rtol=1e-3)
+
+
+def test_resume_prefers_best_score_sidecar_over_stale_latest(train_root, tmp_path):
+    """After a crash between a synchronous best/ save and the next committed
+    full-state slot, latest.json's best_score is stale; resume must label
+    the restored best/ weights with best_score.json (written WITH them)."""
+    import json
+    import os
+
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    cfg = _tiny_config(train_root, tmp_path)
+    run_dir = str(tmp_path / "wedge_run")
+    out1 = train_and_get_best_model(cfg, run_dir=run_dir)
+
+    # simulate the wedge: the slot pointer carries an OLDER (worse) best
+    latest_path = os.path.join(run_dir, "latest.json")
+    with open(latest_path) as f:
+        latest = json.load(f)
+    true_best = latest["best_score"]
+    latest["best_score"] = true_best + 1.0  # stale, worse
+    latest["best_epoch"] = 0
+    with open(latest_path, "w") as f:
+        json.dump(latest, f)
+
+    with open(os.path.join(run_dir, "best_score.json")) as f:
+        sidecar = json.load(f)
+    assert sidecar["score"] == out1["best_score"] == true_best
+    assert sidecar["epoch"] == out1["best_epoch"]
+
+    # relaunch of the finished run: no epochs run, so the returned label
+    # must come from the sidecar, not the tampered slot pointer
+    out2 = train_and_get_best_model(cfg, run_dir=run_dir)
+    assert out2["best_score"] == true_best
+    assert out2["best_epoch"] == out1["best_epoch"]
