@@ -76,6 +76,12 @@ def main():
         help="training.early_stop_patience passthrough (0 = run all epochs)",
     )
     ap.add_argument(
+        "--val-views", type=int, nargs="*", default=[],
+        help="training.val_views passthrough: score validation at these "
+        "view counts too and select on the mean (the variable-L selection "
+        "criterion; full stack always included)",
+    )
+    ap.add_argument(
         "--range-penalty", type=float, default=0.0,
         help="training.range_penalty passthrough: penalize SR output that "
         "leaves [0,1] (clip-floor artifact root fix at the loss level)",
@@ -181,6 +187,7 @@ def main():
                 "early_stop_patience": args.early_stop_patience,
                 "init_params_from": args.init_from,
                 "range_penalty": args.range_penalty,
+                "val_views": args.val_views,
                 "data_parallel": jax.device_count() > 1,
             },
         }
@@ -249,6 +256,7 @@ def main():
             "early_stop_patience": args.early_stop_patience,
             "init_params_from": args.init_from,
             "range_penalty": args.range_penalty,
+            "val_views": args.val_views,
             # on a watchdog-relaunched resumable run this is the LAST leg
             # only, not cumulative wall-clock
             "train_seconds": round(train_s, 1),

@@ -91,6 +91,12 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # specializing to exactly n_views (the VIEWS_ABLATION clip-floor
         # artifact). 0 = off (reference-exact fixed-L batches).
         "variable_views_p": 0.0,
+        # validation view-count mixture: [k1, k2, ...] scores the val set
+        # at several view counts (full stack always included; entries <
+        # min_L add truncated lists) and selects/schedules on the MEAN —
+        # the selection criterion for variable-L training. [] = off
+        # (reference-exact single full-L val).
+        "val_views": [],
         # out-of-range output penalty: > 0 adds rp * mean(relu(sr-1) +
         # relu(-sr)) on the raw SR output — drives the clip-floor artifact
         # (outputs leaving [0,1] at untrained view counts) to zero at the

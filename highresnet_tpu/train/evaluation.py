@@ -35,6 +35,7 @@ def build_val_batches(
     beta: float,
     batch_size: int,
     rng=None,
+    truncate_to: Optional[int] = None,
 ):
     """Pre-collate the validation set into static-shape batches.
 
@@ -47,11 +48,26 @@ def build_val_batches(
     epoch (src/train.py:284 + DataLoader.py:127): noisy val scores make
     best-model selection itself noisy. Opt out with
     ``training.cache_val_batches: false``.
+
+    ``truncate_to=k`` keeps only each scene's k clearest views (alpha
+    zero-pads back to min_l, the reference's any-L contract,
+    src/utils.py:89-95) — the ``training.val_views`` mixture scores one
+    such batch list per listed view count, all served by the SAME
+    compiled eval step (static shapes).
     """
     out = []
     for start in range(0, len(val_scenes), batch_size):
         dirs = val_scenes[start : start + batch_size]
         sets = [read_imageset(d, top_k=top_k, beta=beta, rng=rng) for d in dirs]
+        if truncate_to is not None and truncate_to < min_l:
+            import dataclasses
+
+            sets = [
+                dataclasses.replace(
+                    s, lr=s.lr[:truncate_to], clearances=s.clearances[:truncate_to]
+                )
+                for s in sets
+            ]
         n_real = len(sets)
         if n_real < batch_size:  # pad to the compiled static batch shape
             sets = sets + [sets[-1]] * (batch_size - n_real)

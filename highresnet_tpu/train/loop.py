@@ -158,8 +158,18 @@ def train_and_get_best_model(
     # and hence best-model selection — noisy. Seeded rng => deterministic
     # across epochs and runs. training.cache_val_batches=false restores
     # the reference's stochastic per-epoch behavior (src/train.py:284).
+    # training.val_views = [k1, k2, ...]: score the val set at SEVERAL view
+    # counts and select on the mean — a selection criterion that sees the
+    # variable-L objective (an L-only val let a variable-L fine-tune pick
+    # an early epoch that kept the fixed-L brittleness at low L,
+    # VIEWS_ABLATION_VARL_FT.json). [] = reference-exact single full-L val.
+    # The full stack is always scored; entries < min_L add truncated-view
+    # batch lists (entries >= min_L are the full stack, listed or not).
+    # Mixture implies cached val batches (each count gets its own list,
+    # all served by the same compiled eval step — static shapes).
+    val_views = [int(v) for v in (t.get("val_views") or [])]
     val_batches = None
-    if t.get("cache_val_batches", True):
+    if t.get("cache_val_batches", True) or val_views:
         val_batches = build_val_batches(
             val_list,
             t["min_L"],
@@ -168,23 +178,46 @@ def train_and_get_best_model(
             eval_batch,
             rng=np.random.default_rng(seed + 10007),
         )
-
-    def eval_params_hrnet(params_hrnet, sample_rng, return_images=False):
-        """One val pass with the run's fixed evaluation plumbing."""
-        return evaluate_model(
-            params_hrnet,
-            eval_step,
+    extra_val_batches = [
+        build_val_batches(
             val_list,
             t["min_L"],
-            baseline,
-            top_k=t["n_views"],
-            beta=t["beta"],
-            batch_size=eval_batch,
-            mesh=eval_mesh,
-            return_images=return_images,
-            prebuilt_batches=val_batches,
-            sample_rng=sample_rng,
+            t["n_views"],
+            t["beta"],
+            eval_batch,
+            rng=np.random.default_rng(seed + 10007),
+            truncate_to=k,
         )
+        for k in val_views
+        if k < t["min_L"]
+    ]
+
+    def eval_params_hrnet(params_hrnet, sample_rng, return_images=False):
+        """One val pass (or the val_views mixture) with the run's plumbing."""
+
+        def one(batches, want_images):
+            return evaluate_model(
+                params_hrnet,
+                eval_step,
+                val_list,
+                t["min_L"],
+                baseline,
+                top_k=t["n_views"],
+                beta=t["beta"],
+                batch_size=eval_batch,
+                mesh=eval_mesh,
+                return_images=want_images,
+                prebuilt_batches=batches,
+                sample_rng=sample_rng,
+            )
+
+        if not extra_val_batches:
+            return one(val_batches, return_images)
+        out = one(val_batches, return_images)  # full stack first (images)
+        score, images = (out[0], out[1:]) if return_images else (out, ())
+        scores = [score] + [one(b, False) for b in extra_val_batches]
+        mixture = float(np.mean(scores))
+        return (mixture, *images) if return_images else mixture
 
     if run_dir is None:
         run_dir = os.path.join(paths["checkpoint_dir"], _run_dir_name(t))

@@ -971,3 +971,50 @@ def test_resume_prefers_best_score_sidecar_over_stale_latest(train_root, tmp_pat
     out2 = train_and_get_best_model(cfg, run_dir=run_dir)
     assert out2["best_score"] == true_best
     assert out2["best_epoch"] == out1["best_epoch"]
+
+
+def test_val_views_mixture_selection(train_root, tmp_path):
+    """training.val_views scores the val set at several view counts and
+    selects on the mean (full stack always included)."""
+    import jax
+
+    from highresnet_tpu.train.evaluation import build_val_batches
+    from highresnet_tpu.train.loop import train_and_get_best_model
+
+    cfg = _tiny_config(train_root, tmp_path)
+    cfg["training"]["val_views"] = [2, 1]
+    out = train_and_get_best_model(cfg)
+    assert np.isfinite(out["best_score"])
+
+    # reproduce the mixture by hand on the returned best weights: the same
+    # seeded rng per batch list, full stack + each truncated count
+    from highresnet_tpu.data import discover_scenes, train_val_split
+    from highresnet_tpu.models.hrnet import HRNet
+    from highresnet_tpu.train.evaluation import evaluate_model
+    from highresnet_tpu.train.step import build_eval_step
+
+    import os
+
+    from highresnet_tpu.data.probav import read_baseline_cpsnr
+
+    scenes = discover_scenes(f"{train_root}/train")
+    _, val = train_val_split(scenes, cfg["training"]["val_proportion"], seed=1)
+    baseline = read_baseline_cpsnr(os.path.join(train_root, "norm.csv"))
+    hrnet = HRNet(config=cfg["network"])
+    eval_step = build_eval_step(hrnet, cfg)
+    t = cfg["training"]
+    scores = []
+    for k in (None, 2, 1):
+        batches = build_val_batches(
+            val, t["min_L"], t["n_views"], t["beta"], t["eval_batch_size"],
+            rng=np.random.default_rng(t.get("seed", 0) + 10007), truncate_to=k,
+        )
+        scores.append(evaluate_model(
+            out["params"]["hrnet"], eval_step, val, t["min_L"], baseline,
+            top_k=t["n_views"], beta=t["beta"],
+            batch_size=t["eval_batch_size"], prebuilt_batches=batches,
+        ))
+    # truncating views must change the score (the mixture really scored
+    # different stacks), and the loop's best must equal the hand mixture
+    assert scores[0] != scores[1] or scores[0] != scores[2]
+    np.testing.assert_allclose(out["best_score"], np.mean(scores), rtol=1e-6)
