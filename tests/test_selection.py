@@ -9,7 +9,7 @@ class _FakeCkpt:
     def __init__(self):
         self.saved = []
 
-    def save_best(self, params, batch_stats, score):
+    def save_best(self, params, batch_stats, score, epoch=None):
         self.saved.append((params, batch_stats, score))
 
 
