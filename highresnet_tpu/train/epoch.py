@@ -28,15 +28,25 @@ def warp_window_px(t: Dict[str, Any]) -> float:
 
 
 def warn_warp_window(
-    t: Dict[str, Any], max_abs_shift: float, epoch: int, already_warned: bool
-) -> bool:
-    """Warn (once per run) when a predicted shift leaves the warp window.
+    t: Dict[str, Any], max_abs_shift: float, epoch: int, warn_from: int = 1
+) -> int:
+    """Warn when a predicted shift leaves the warp window.
 
     Shifts beyond the window silently degrade the registered loss — the
     REGISTER_ABLATION.json protocol-3 failure mode — so leaving it must be
-    LOUD. Returns the updated already_warned flag."""
-    if already_warned or not t.get("register", True):
-        return already_warned
+    LOUD, and a PERSISTENT violation must stay visible: a first-epoch
+    ShiftNet optimizer transient (observed: 3.3 px at epoch 1 of an
+    hr_shift=0 run, from a zero-init net after its first steps) would
+    otherwise consume a once-per-run flag and mask the real failure mode
+    later. The guard therefore re-arms on a doubling epoch back-off: a
+    warning at epoch e arms the next at 2e, so a run that stays out of
+    window keeps saying so at epochs 1, 2, 4, 8, ... (O(log E) warnings)
+    while a one-epoch transient warns exactly once. A violation that
+    disappears and re-emerges past the armed epoch warns immediately.
+
+    Returns the updated warn_from threshold (pass it back next epoch)."""
+    if not t.get("register", True) or epoch < warn_from:
+        return warn_from
     window = warp_window_px(t)
     if max_abs_shift > window:
         warnings.warn(
@@ -46,8 +56,8 @@ def warn_warp_window(
             "alignments it cannot express. Raise training.warp_int_range "
             "or reduce the misalignment scale."
         )
-        return True
-    return already_warned
+        return max(2 * epoch, epoch + 1)
+    return warn_from
 
 
 def run_train_epoch(

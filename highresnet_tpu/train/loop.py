@@ -244,7 +244,7 @@ def train_and_get_best_model(
 
     steps_done = 0
     num_epochs = t["num_epochs"]
-    _warp_warned = False
+    _warp_warn_from = 1
     for epoch in range(start_epoch, num_epochs + 1):
         step_fn = (
             warm_train_step
@@ -265,7 +265,7 @@ def train_and_get_best_model(
         max_abs_shift = estats["max_abs_shift"]
         t0 = time.time() - estats["seconds"]
 
-        _warp_warned = warn_warp_window(t, max_abs_shift, epoch, _warp_warned)
+        _warp_warn_from = warn_warp_window(t, max_abs_shift, epoch, _warp_warn_from)
 
         # fetch the first val SR only when a writer will log it (an image
         # readback per epoch is wasted bandwidth on remote transports).

@@ -838,15 +838,20 @@ def test_warp_int_range_step_and_window_guard(train_root, tmp_path):
     assert warp_window_px({}) == 3.0
     assert warp_window_px({"warp_int_range": 4}) == 4.5
 
-    # guard semantics: warns once, only when registering and over-window
+    # guard semantics: only when registering and over-window; doubling
+    # epoch back-off so a persistent violation stays visible while a
+    # first-epoch ShiftNet transient warns exactly once
     t = {"register": True, "warp_int_range": 0}
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
-        assert warn_warp_window(t, 2.0, 1, False) is False
-        assert warn_warp_window(t, 3.5, 2, False) is True  # fires
-        assert warn_warp_window(t, 5.0, 3, True) is True  # once per run
-        assert warn_warp_window({"register": False}, 9.0, 4, False) is False
-    assert len(w) == 1 and "warp" in str(w[0].message)
+        assert warn_warp_window(t, 2.0, 1, 1) == 1  # in window: silent
+        assert warn_warp_window(t, 3.5, 1, 1) == 2  # fires, re-arms at 2
+        assert warn_warp_window(t, 5.0, 1, 2) == 2  # backed off: silent
+        assert warn_warp_window(t, 5.0, 2, 2) == 4  # persistent: fires again
+        assert warn_warp_window(t, 2.0, 3, 4) == 4  # recovered: silent
+        assert warn_warp_window(t, 9.0, 50, 4) == 100  # re-emergence fires
+        assert warn_warp_window({"register": False}, 9.0, 4, 1) == 1
+    assert len(w) == 3 and all("warp" in str(x.message) for x in w)
 
 
 def test_init_params_from_finetunes_saved_best(train_root, tmp_path):
