@@ -29,7 +29,6 @@ One TPU process at a time; relaunch-safe under scripts/supervise_tpu.sh
 
 import argparse
 import json
-import math
 import os
 import sys
 import time
@@ -48,19 +47,6 @@ ARMS = {
         "augment_dihedral": True,
     },
 }
-
-
-def paired(a, b):
-    """Paired stats for per-scene score lists a vs b (a minus b)."""
-    d = np.asarray(a) - np.asarray(b)
-    n = len(d)
-    t = float(d.mean() / (d.std(ddof=1) / math.sqrt(n))) if n > 1 else float("nan")
-    return {
-        "mean_db": round(float(d.mean()), 4),
-        "wins": int((d > 0).sum()),
-        "n": n,
-        "paired_t": round(t, 2),
-    }
 
 
 def main():
@@ -86,52 +72,37 @@ def main():
     ap.add_argument("--out", default="FLAGSHIP_RECIPE.json")
     args = ap.parse_args()
 
+    from highresnet_tpu.exp import harness
+
+    harness.honor_platform_and_cache()
+
     import jax
-
-    # sitecustomize pins jax_platforms=axon,cpu over the env var; honor an
-    # explicit JAX_PLATFORMS request (same convention as bench.py /
-    # __graft_entry__._honor_cpu_request) so CPU smoke runs don't grab the
-    # TPU relay
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}")
     import jax.numpy as jnp
 
     from highresnet_tpu.config import load_config
     from highresnet_tpu.data import collate, discover_scenes, read_imageset
-    from highresnet_tpu.data.synth import (
-        clear_synthetic_dataset,
-        make_synthetic_dataset,
-        synthetic_dataset_complete,
-    )
     from highresnet_tpu.eval.evaluator import _TTAForward
     from highresnet_tpu.models.hrnet import HRNet
-    from highresnet_tpu.ops.metrics import shift_cpsnr
     from highresnet_tpu.train.loop import train_and_get_best_model
 
     # --- datasets: train root + FRESH test root (disjoint generator seed) --
-    for root, spc, seed in (
-        (args.root, args.scenes_per_channel, args.seed),
-        (args.test_root, args.test_scenes_per_channel, args.seed + 7777),
+    # only the TRAIN root gets the decode-free pack cache (the test root is
+    # read once per arm, not every epoch)
+    for root, spc, seed, pack in (
+        (args.root, args.scenes_per_channel, args.seed, True),
+        (args.test_root, args.test_scenes_per_channel, args.seed + 7777, False),
     ):
-        if args.regen or not synthetic_dataset_complete(root):
-            clear_synthetic_dataset(root, force=args.regen)
-            make_synthetic_dataset(
-                root,
-                n_scenes_per_channel=spc,
-                n_views=args.views,
-                lr_size=args.lr_size,
-                seed=seed,
-                splits=("train",),
-                write_norm_csv=False,
-                detail=args.detail,
-                hr_shift_sigma=args.sigma,
-            )
-            print(f"dataset: {2 * spc} scenes at {root}", flush=True)
-    from highresnet_tpu.cli.pack_dataset import main as pack_main
-
-    pack_main(["--prefix", args.root])
+        harness.ensure_dataset(
+            root,
+            scenes_per_channel=spc,
+            views=args.views,
+            lr_size=args.lr_size,
+            seed=seed,
+            detail=args.detail,
+            hr_shift_sigma=args.sigma,
+            regen=args.regen,
+            pack=pack,
+        )
 
     test_scenes = discover_scenes(os.path.join(args.test_root, "train"))
 
@@ -179,11 +150,11 @@ def main():
             s = read_imageset(d, top_k=args.views, beta=50.0)
             batch = collate([s], args.views)
             lrs, al = jnp.asarray(batch.lrs), jnp.asarray(batch.alphas)
-            hr, hrm = jnp.asarray(s.hr), jnp.asarray(s.hr_map)
-            sr = fwd_plain(params, lrs, al)[0]
-            scores["plain_fwd"].append(float(shift_cpsnr(jnp.clip(sr, 0, 1), hr, hrm)))
-            sr = jnp.asarray(fwd_tta(np.asarray(lrs), np.asarray(al)))[0]
-            scores["tta8"].append(float(shift_cpsnr(jnp.clip(sr, 0, 1), hr, hrm)))
+            score = harness.scene_scorer(s)
+            scores["plain_fwd"].append(score(fwd_plain(params, lrs, al)[0]))
+            scores["tta8"].append(
+                score(jnp.asarray(fwd_tta(np.asarray(lrs), np.asarray(al)))[0])
+            )
         results[arm] = {
             "train_seconds": round(train_s, 1),
             "best_val_score": float(out["best_score"]),
@@ -219,10 +190,10 @@ def main():
         },
         "arms": results,
         "comparisons": {
-            "headline_full_tta_vs_plain": paired(f["tta8"], p["plain_fwd"]),
-            "recipe_only_full_vs_plain": paired(f["plain_fwd"], p["plain_fwd"]),
-            "tta_on_full": paired(f["tta8"], f["plain_fwd"]),
-            "tta_on_plain": paired(p["tta8"], p["plain_fwd"]),
+            "headline_full_tta_vs_plain": harness.paired_stats(f["tta8"], p["plain_fwd"]),
+            "recipe_only_full_vs_plain": harness.paired_stats(f["plain_fwd"], p["plain_fwd"]),
+            "tta_on_full": harness.paired_stats(f["tta8"], f["plain_fwd"]),
+            "tta_on_plain": harness.paired_stats(p["tta8"], p["plain_fwd"]),
         },
     }
     with open(args.out, "w") as fp:

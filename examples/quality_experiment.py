@@ -109,56 +109,29 @@ def main():
     ap.add_argument("--out", default="QUALITY_REPORT.json")
     args = ap.parse_args()
 
+    from highresnet_tpu.exp import harness
+
+    harness.honor_platform_and_cache()
+
     import jax
-
-    # sitecustomize pins jax_platforms=axon,cpu over the env var; honor an
-    # explicit JAX_PLATFORMS request (same convention as bench.py /
-    # __graft_entry__._honor_cpu_request) so CPU smoke runs don't grab the
-    # TPU relay
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-    jax.config.update(
-        "jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}"
-    )
-
     import jax.numpy as jnp
 
     from highresnet_tpu.config import load_config
-    from highresnet_tpu.data import collate, discover_scenes, read_imageset, train_val_split
-    from highresnet_tpu.data.synth import make_synthetic_dataset
+    from highresnet_tpu.data import collate, read_imageset
     from highresnet_tpu.models.hrnet import HRNet
-    from highresnet_tpu.ops.metrics import shift_cpsnr
     from highresnet_tpu.train.loop import train_and_get_best_model
 
-    # --- dataset --------------------------------------------------------
-    from highresnet_tpu.data.synth import synthetic_dataset_complete
-    # .complete marker: a generator killed mid-write (watchdog, ctrl-C)
-    # leaves a partial tree that must be rebuilt, not trained on
-    if args.regen or not synthetic_dataset_complete(args.root):
-        from highresnet_tpu.data.synth import clear_synthetic_dataset
-
-        # removes only generated artifacts (train/, norm.csv, caches) and
-        # refuses to touch an unmarked tree unless --regen forces it —
-        # checkpoint dirs under --root survive a deterministic rebuild
-        clear_synthetic_dataset(args.root, force=args.regen)
-        make_synthetic_dataset(
-            args.root,
-            n_scenes_per_channel=args.scenes_per_channel,
-            n_views=args.views,
-            lr_size=args.lr_size,
-            seed=args.seed,
-            splits=("train",),
-            write_norm_csv=False,  # select best model on raw -shift_cPSNR
-            detail=args.detail,
-            hr_shift=args.hr_shift,
-        )
-        print(f"dataset: {2 * args.scenes_per_channel} scenes at {args.root}", flush=True)
-        # decode-free scene cache: the 1-core host would otherwise re-decode
-        # every PNG on every epoch and starve the chip
-        from highresnet_tpu.cli.pack_dataset import main as pack_main
-
-        pack_main(["--prefix", args.root])
+    # --- dataset (best-model selection on raw -shift_cPSNR, no norm.csv) --
+    harness.ensure_dataset(
+        args.root,
+        scenes_per_channel=args.scenes_per_channel,
+        views=args.views,
+        lr_size=args.lr_size,
+        seed=args.seed,
+        detail=args.detail,
+        hr_shift=args.hr_shift,
+        regen=args.regen,
+    )
 
     # --- train ----------------------------------------------------------
     config = load_config(
@@ -207,12 +180,7 @@ def main():
     params = result["params"]["hrnet"]
     fwd = jax.jit(lambda p, lrs, al: hrnet.apply({"params": p}, lrs, al))
 
-    scenes = discover_scenes(os.path.join(args.root, "train"))
-    _, val = train_val_split(scenes, args.val_proportion, seed=1)
-
-    def bicubic_x3(img):
-        h, w = img.shape
-        return jax.image.resize(jnp.asarray(img), (3 * h, 3 * w), method="cubic")
+    val = harness.held_out_scenes(args.root, args.val_proportion)
 
     rows = []
     for d in val:
@@ -221,9 +189,8 @@ def main():
         sr = fwd(params, jnp.asarray(batch.lrs), jnp.asarray(batch.alphas))[0]
         one = collate([s], 1)
         sr1 = fwd(params, jnp.asarray(one.lrs), jnp.asarray(one.alphas))[0]
-        cubic = bicubic_x3(s.lr[0])
-        hr, hrm = jnp.asarray(s.hr), jnp.asarray(s.hr_map)
-        score = lambda img: float(shift_cpsnr(jnp.clip(img, 0, 1), hr, hrm))
+        cubic = harness.bicubic_x3(s.lr[0])
+        score = harness.scene_scorer(s)
         rows.append(
             {"scene": s.name, "mfsr": score(sr), "one_view": score(sr1), "bicubic": score(cubic)}
         )
@@ -268,6 +235,13 @@ def main():
         "selection": {
             "loop_best_score": round(float(result["best_score"]), 4),
             "best_epoch": int(result.get("best_epoch", -1)),
+            # full per-epoch selection-score trajectory: distinguishes "the
+            # arm genuinely peaked here" from "selection clipped the run"
+            # (the RECIPE_FT_CTL epoch-18 confound, VERDICT round-4 weak #2)
+            "val_history": [
+                [int(e), round(float(s), 4)]
+                for e, s in result.get("val_history", [])
+            ],
             # with ema_decay > 0: which weights the dual selection shipped
             # plus the per-epoch EMA-vs-raw win tally (win-or-retire
             # evidence, VERDICT round-3 item 6)

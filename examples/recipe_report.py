@@ -12,8 +12,12 @@ effect being measured).
 
 import argparse
 import json
-import math
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from highresnet_tpu.exp.harness import paired_t
 
 # knobs an arm is ALLOWED to differ on — everything else must match
 RECIPE_KEYS = {
@@ -21,26 +25,23 @@ RECIPE_KEYS = {
     "augment_dihedral",
     "grad_clip_norm",
     "variable_views_p",
+    "range_penalty",
+    "init_params_from",
+    "val_views",
     "train_seconds",
     "device",
 }
 
 # protocol keys added after some reports were generated: a missing key in an
 # older report means its documented default, not a mismatch
-PROTOCOL_DEFAULTS = {"early_stop_patience": 0, "lr_decay": 0.97, "variable_views_p": 0.0}
-
-
-def paired_t(deltas):
-    """Paired t-statistic, or None when it is undefined (fewer than two
-    scenes, or zero-variance deltas — reporting 'infinite significance'
-    for a degenerate sample would be worse than reporting nothing)."""
-    n = len(deltas)
-    if n < 2:
-        return None
-    mean = sum(deltas) / n
-    var = sum((d - mean) ** 2 for d in deltas) / (n - 1)
-    se = math.sqrt(var / n)
-    return mean / se if se > 0 else None
+PROTOCOL_DEFAULTS = {
+    "early_stop_patience": 0,
+    "lr_decay": 0.97,
+    "variable_views_p": 0.0,
+    "range_penalty": 0.0,
+    "init_params_from": "",
+    "val_views": [],
+}
 
 
 def compare(base, cand, label):

@@ -93,46 +93,32 @@ def main():
     ap.add_argument("--out", default="REGISTER_ABLATION.json")
     args = ap.parse_args()
 
-    import jax
+    from highresnet_tpu.exp import harness
 
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}")
+    harness.honor_platform_and_cache()
+
+    import jax
     import jax.numpy as jnp
 
     from highresnet_tpu.config import load_config
-    from highresnet_tpu.data import collate, discover_scenes, read_imageset, train_val_split
-    from highresnet_tpu.data.synth import make_synthetic_dataset
+    from highresnet_tpu.data import collate, read_imageset
     from highresnet_tpu.models.hrnet import HRNet
     from highresnet_tpu.ops.lanczos import lanczos_shift
-    from highresnet_tpu.ops.metrics import cpsnr, shift_cpsnr
+    from highresnet_tpu.ops.metrics import cpsnr
     from highresnet_tpu.train.loop import train_and_get_best_model
 
-    # --- dataset (shared by all arms) ------------------------------------
-    from highresnet_tpu.data.synth import synthetic_dataset_complete
-    # .complete marker: a generator killed mid-write (watchdog, ctrl-C)
-    # leaves a partial tree that must be rebuilt, not trained on
-    if args.regen or not synthetic_dataset_complete(args.root):
-        from highresnet_tpu.data.synth import clear_synthetic_dataset
-
-        # removes only generated artifacts (train/, norm.csv, caches) and
-        # refuses to touch an unmarked tree unless --regen forces it —
-        # checkpoint dirs under --root survive a deterministic rebuild
-        clear_synthetic_dataset(args.root, force=args.regen)
-        make_synthetic_dataset(
-            args.root,
-            n_scenes_per_channel=args.scenes_per_channel,
-            n_views=args.views,
-            lr_size=args.lr_size,
-            seed=args.seed,
-            splits=("train",),
-            write_norm_csv=False,  # model selection on raw -shift_cPSNR
-            detail=args.detail,
-            hr_shift=args.hr_shift,
-            hr_shift_sigma=0.0 if args.hr_shift > 0 else args.sigma,
-        )
-        print(f"dataset: {2 * args.scenes_per_channel} scenes at {args.root}", flush=True)
-        from highresnet_tpu.cli.pack_dataset import main as pack_main
-
-        pack_main(["--prefix", args.root])
+    # --- dataset (shared by all arms); model selection on raw -shift_cPSNR
+    harness.ensure_dataset(
+        args.root,
+        scenes_per_channel=args.scenes_per_channel,
+        views=args.views,
+        lr_size=args.lr_size,
+        seed=args.seed,
+        detail=args.detail,
+        hr_shift=args.hr_shift,
+        hr_shift_sigma=0.0 if args.hr_shift > 0 else args.sigma,
+        regen=args.regen,
+    )
 
     # --- fractional-search scorer ----------------------------------------
     offs = np.arange(-3.0, 3.0 + 1e-9, 0.25)
@@ -157,9 +143,7 @@ def main():
         return jnp.max(scores)
 
     # --- train + score each arm ------------------------------------------
-    scenes = discover_scenes(os.path.join(args.root, "train"))
-    _, val = train_val_split(scenes, args.val_proportion, seed=1)
-    val = val[: args.max_scenes]
+    val = harness.held_out_scenes(args.root, args.val_proportion, args.max_scenes)
 
     shared = {
         "num_epochs": args.epochs,
@@ -210,7 +194,7 @@ def main():
             batch = collate([s], args.views)
             sr = fwd(params, jnp.asarray(batch.lrs), jnp.asarray(batch.alphas))[0]
             hr, hrm = jnp.asarray(s.hr), jnp.asarray(s.hr_map)
-            int_scores.append(float(shift_cpsnr(jnp.clip(sr, 0, 1), hr, hrm)))
+            int_scores.append(harness.scene_scorer(s)(sr))
             frac_scores.append(float(frac_cpsnr(sr, hr, hrm)))
         results[arm] = {
             "mean_shift_cpsnr": float(np.mean(int_scores)),

@@ -10,7 +10,6 @@ on a trained checkpoint from examples/quality_experiment.py.
 
 import argparse
 import glob
-import json
 import os
 import sys
 
@@ -29,21 +28,16 @@ def main():
     ap.add_argument("--out", default="VIEWS_ABLATION.json")
     args = ap.parse_args()
 
+    from highresnet_tpu.exp import harness
+
+    harness.honor_platform_and_cache()
+
     import jax
-
-    # sitecustomize pins jax_platforms=axon,cpu over the env var; honor an
-    # explicit JAX_PLATFORMS request (same convention as bench.py) so CPU
-    # smoke runs don't grab the TPU relay
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}")
     import jax.numpy as jnp
 
     from highresnet_tpu.config import load_config
-    from highresnet_tpu.data import collate, discover_scenes, read_imageset, train_val_split
+    from highresnet_tpu.data import collate, read_imageset
     from highresnet_tpu.eval.evaluator import load_model
-    from highresnet_tpu.ops.metrics import shift_cpsnr
 
     run = args.checkpoint or sorted(glob.glob(os.path.join(args.root, "ckpt", "*")))[-1]
     max_views = max(args.views)
@@ -51,13 +45,7 @@ def main():
     hrnet, params = load_model(config, run)
     fwd = jax.jit(lambda p, lrs, al: hrnet.apply({"params": p}, lrs, al))
 
-    scenes = discover_scenes(os.path.join(args.root, "train"))
-    _, val = train_val_split(scenes, args.val_proportion, seed=1)
-    val = val[: args.max_scenes]
-
-    def bicubic_x3(img):
-        h, w = img.shape
-        return jax.image.resize(jnp.asarray(img), (3 * h, 3 * w), method="cubic")
+    val = harness.held_out_scenes(args.root, args.val_proportion, args.max_scenes)
 
     per_k = {k: [] for k in args.views}
     per_k_overflow = {k: [] for k in args.views}
@@ -65,24 +53,19 @@ def main():
     cubic_scores = []
     for d in val:
         s = read_imageset(d, top_k=max_views, beta=50.0)
-        hr, hrm = jnp.asarray(s.hr), jnp.asarray(s.hr_map)
-        score = lambda img: float(shift_cpsnr(jnp.clip(img, 0, 1), hr, hrm))
+        score = harness.scene_scorer(s)
         for k in args.views:
             batch = collate([s], k)  # truncates to the k clearest views
             sr = fwd(params, jnp.asarray(batch.lrs), jnp.asarray(batch.alphas))[0]
             per_k[k].append(score(sr))
             # clip-floor evidence: how far the raw output leaves [0,1]
             # before the metric clips it (the off-distribution L artifact
-            # that variable-L training exists to remove)
-            overflow = float(jnp.maximum(jnp.max(sr - 1.0), jnp.max(-sr)))
-            per_k_overflow[k].append(max(0.0, overflow))
-            # same, restricted to the region shift_cpsnr actually scores
-            # (it trims a 3-px border, ops/metrics.py:42 — overflow that
-            # lives only in the trim is cosmetic, never scored)
-            inner = sr[3:-3, 3:-3]
-            ov_in = float(jnp.maximum(jnp.max(inner - 1.0), jnp.max(-inner)))
-            per_k_overflow_scored[k].append(max(0.0, ov_in))
-        cubic_scores.append(score(bicubic_x3(s.lr[0])))
+            # that variable-L training exists to remove), full-frame and
+            # restricted to the region shift_cpsnr actually scores
+            ov_full, ov_scored = harness.overflow_metrics(sr)
+            per_k_overflow[k].append(ov_full)
+            per_k_overflow_scored[k].append(ov_scored)
+        cubic_scores.append(score(harness.bicubic_x3(s.lr[0])))
 
     bicubic = float(np.mean(cubic_scores))
     table = [
@@ -109,9 +92,7 @@ def main():
             for i in range(len(table) - 1)
         ),
     }
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(report, indent=2))
+    harness.emit_report(args.out, report)
 
 
 if __name__ == "__main__":

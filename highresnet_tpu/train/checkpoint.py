@@ -186,6 +186,9 @@ def resume_run(ckpt: CheckpointManager, state, tracker, scheduler, *, multihost,
     except Exception:
         pass  # no best saved yet (e.g. killed before the first eval)
     tracker.seed(best, best_score, best_epoch)
+    tracker.val_history = [
+        (int(e), float(s)) for e, s in host_state.get("val_history", [])
+    ]
     if "scheduler" in host_state:
         scheduler.load_state_dict(host_state["scheduler"])
     return state.with_learning_rate(scheduler.lr), start_epoch

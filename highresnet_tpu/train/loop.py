@@ -298,6 +298,7 @@ def train_and_get_best_model(
                 tracker.ema_wins += 1
             else:
                 tracker.raw_wins += 1
+        tracker.val_history.append((epoch, float(cand_score)))
         if tracker.update(epoch, cand_score, cand_params, state.batch_stats):
             if raw_val_score is not None:
                 tracker.best_source = (
@@ -339,6 +340,7 @@ def train_and_get_best_model(
                     "best_score": tracker.best_score,
                     "best_epoch": tracker.best_epoch,
                     "scheduler": scheduler.state_dict(),
+                    "val_history": tracker.val_history,
                 },
             )
 
@@ -382,6 +384,7 @@ def train_and_get_best_model(
         "batch_stats": tracker.best["batch_stats"],
         "best_score": tracker.best_score,
         "best_epoch": tracker.best_epoch,
+        "val_history": tracker.val_history,
         "run_dir": run_dir,
     }
     if state.ema_params is not None:

@@ -63,6 +63,12 @@ class BestTracker:
         self.best_source = None  # 'ema' | 'raw' | None (EMA off)
         self.ema_wins = 0
         self.raw_wins = 0
+        # full per-epoch selection-score trajectory [(epoch, score), ...];
+        # persisted through checkpoints so a relaunched run keeps the whole
+        # curve. Lets a recipe comparison distinguish "this arm genuinely
+        # peaked early" from "selection clipped its trajectory" (the
+        # RECIPE_FT_CTL epoch-18 question, VERDICT round-4 weak #2).
+        self.val_history = []
 
     def seed(self, best, score: float = float("inf"), epoch: int = 0) -> None:
         """Initialize from a restore (or the fresh init weights)."""

@@ -8,7 +8,7 @@
 # rerun reproduces the identical best/ snapshot at a third of the cost
 # (selection keeps the best epoch; epochs 1-100 are the same trajectory).
 # The regen leg's report goes to /tmp for a determinism cross-check
-# (loop_best_score must read -17.5211, best_epoch 53).
+# (best_score.json must read epoch 53, score -17.5211).
 set -u
 cd /root/repo
 
@@ -17,12 +17,33 @@ COMMON=(--root /tmp/hrn_varl_data --scenes-per-channel 580 --views 16
         --lr-decay 0.97 --seed 0 --val-proportion 0.1 --epochs 100
         --checkpoint-every 10)
 
-if [ ! -f /tmp/hrn_varl_data/ckpt/fixL/best/hrnet.msgpack ] && \
-   [ ! -d /tmp/hrn_varl_data/ckpt/fixL/best ]; then
+BASE=/tmp/hrn_varl_data/ckpt/fixL
+
+# a complete base = the Orbax best/ dir plus its synchronously-written
+# best_score.json sidecar (save_best, train/checkpoint.py:113-125); a run
+# killed mid-regen leaves best/ from an early epoch, which the determinism
+# check below catches and fails loudly rather than fine-tuning from it
+if [ ! -d "$BASE/best" ] || [ ! -f "$BASE/best_score.json" ]; then
   scripts/supervise_tpu.sh /tmp/rponly_base.log 720 3 -- \
     python examples/quality_experiment.py "${COMMON[@]}" \
       --lr 7e-4 --run-name fixL --out /tmp/RECIPE_FIXL_REGEN.json || exit 1
 fi
+
+# determinism cross-check: the regenerated (or skipped pre-existing) base
+# must be the SAME checkpoint every downstream arm was fine-tuned from
+python - <<'EOF' || exit 1
+import json
+m = json.load(open("/tmp/hrn_varl_data/ckpt/fixL/best_score.json"))
+exp_epoch, exp_score = 53, -17.5211
+ok = m.get("epoch") == exp_epoch and abs(m.get("score", 0.0) - exp_score) < 5e-4
+if not ok:
+    raise SystemExit(
+        f"fixL base mismatch: best_score.json={m}, expected "
+        f"epoch={exp_epoch} score={exp_score}. Stale or partial base — "
+        "delete /tmp/hrn_varl_data/ckpt/fixL and rerun."
+    )
+print(f"fixL base verified: epoch={m['epoch']} score={m['score']:.4f}")
+EOF
 
 scripts/supervise_tpu.sh /tmp/rponly_ft.log 720 3 -- \
   python examples/quality_experiment.py "${COMMON[@]}" \
