@@ -102,6 +102,12 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         # (outputs leaving [0,1] at untrained view counts) to zero at the
         # loss level. 0 = off (reference-exact loss).
         "range_penalty": 0.0,
+        # single-view inference policy: a fusion model fed ONE view measures
+        # below plain bicubic (paper Fig. 1; −0.88 dB measured,
+        # VIEWS_ABLATION_VARL_FT_RP.json), so "warn" (default) flags such
+        # scenes, "bicubic" routes them to the stronger 3x bicubic baseline,
+        # "model" keeps the reference-exact silent behavior.
+        "single_view_policy": "warn",
         # fine-tune: load params + BN stats from another run's best/ snapshot
         # (value = that run's run_dir) into a FRESH run — new optimizer, new
         # schedule, new run_dir. Distinct from resume (which restores the

@@ -182,6 +182,7 @@ def get_sr_and_score(
     min_l: int = 16,
     registration=None,
     register_size: int = 128,
+    single_view_policy: str = "warn",
 ) -> Tuple[np.ndarray, Optional[float]]:
     """Super-resolve one scene and (if HR exists) its shift_cPSNR.
 
@@ -189,11 +190,49 @@ def get_sr_and_score(
     registered against HR by ShiftNet and Lanczos-warped before scoring —
     the registered-eval protocol (BASELINE.json config #2; the integer
     shift_cpsnr search still runs on top, as in training-time validation).
+
+    ``single_view_policy`` governs scenes with exactly ONE real view
+    (alphas sum to 1 after collate padding). A fusion model given a single
+    view measures BELOW plain bicubic — the paper observes the same (Fig. 1;
+    this framework measured −0.88 dB for its best variable-L checkpoint,
+    VIEWS_ABLATION_VARL_FT_RP.json L=1 row) — so silently returning the
+    model output would hand the caller worse-than-baseline data:
+      - "warn" (default): run the model but emit a RuntimeWarning citing
+        the measured deficit;
+      - "bicubic": return 3x bicubic of the clearest view instead;
+      - "model": reference-exact silence (src/predict.py never special-
+        cases L=1).
     """
     if isinstance(imset, ImageSet):
         batch = collate([imset], min_l)
     else:
         batch = imset
+    n_real_views = float(np.sum(np.asarray(batch.alphas[0])))
+    if n_real_views <= 1.0 and single_view_policy != "model":
+        if single_view_policy == "bicubic":
+            # clearest available view (read_imageset orders by clearance)
+            lr = jnp.asarray(batch.lrs[0, 0])
+            h, w = lr.shape
+            sr = np.asarray(jax.image.resize(lr, (3 * h, 3 * w), method="cubic"))
+            score = None
+            if batch.hrs is not None:
+                score = float(
+                    shift_cpsnr(
+                        jnp.clip(jnp.asarray(sr), 0.0, 1.0),
+                        jnp.asarray(batch.hrs[0]),
+                        jnp.asarray(batch.hr_maps[0]),
+                    )
+                )
+            return sr, score
+        warnings.warn(
+            "single-view scene: multi-frame fusion measures below plain "
+            "bicubic at L=1 (paper Fig. 1; −0.88 dB for this framework's "
+            "best variable-L checkpoint, VIEWS_ABLATION_VARL_FT_RP.json). "
+            "Set training.single_view_policy='bicubic' to route such "
+            "scenes to the stronger baseline, or 'model' to silence this.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     sr = forward(batch.lrs, batch.alphas)[0]
     warn_out_of_range(np.asarray(sr), name=batch.names[0] if batch.names else "")
     score = None
@@ -388,6 +427,9 @@ class Model:
             min_l=self.config["training"]["min_L"],
             registration=self.registration if registered else None,
             register_size=self.config["training"].get("register_size", 128),
+            single_view_policy=self.config["training"].get(
+                "single_view_policy", "warn"
+            ),
         )
 
     def evaluate(self, train_dataset, val_dataset, test_dataset, baseline_cpsnrs):

@@ -237,6 +237,55 @@ def test_out_of_range_sr_warns(eval_env):
         assert warn_out_of_range(np.full((4, 4), 1.06, np.float32))
 
 
+def test_single_view_policy(eval_env):
+    """L=1 routing policy: a fusion model fed one view measures below
+    bicubic (paper Fig. 1; VIEWS_ABLATION_VARL_FT_RP.json L=1 row), so the
+    eval path must never silently hand back worse-than-baseline output —
+    'warn' flags it, 'bicubic' routes to the stronger baseline, 'model'
+    keeps the reference-exact silence (src/predict.py has no L=1 case)."""
+    import warnings
+
+    from highresnet_tpu.data import collate, read_imageset
+
+    root, config, model = eval_env
+    ds = SceneDataset(discover_scenes(f"{root}/train"), top_k=-1)
+
+    flat = lambda lrs, alphas: np.full((lrs.shape[0], 48, 48), 0.5, np.float32)
+    # top_k=1 clearance-samples ONE view (Gumbel-top-k is stochastic), so
+    # read once and reuse the same ImageSet for every path under test
+    imset1 = read_imageset(ds.scene_dirs[0], top_k=1)
+    one = collate([imset1], 4)
+    assert float(np.sum(one.alphas[0])) == 1.0  # padded to 4, one real view
+
+    # default policy: model output, plus a loud warning
+    with pytest.warns(RuntimeWarning, match="single-view"):
+        sr, score = get_sr_and_score(one, flat, min_l=4)
+    assert float(sr[0, 0]) == 0.5
+
+    # 'bicubic': routed to the baseline — output is NOT the model's
+    sr_b, score_b = get_sr_and_score(one, flat, min_l=4, single_view_policy="bicubic")
+    assert sr_b.shape == (48, 48)
+    assert not np.allclose(sr_b, 0.5)
+    assert score_b is not None and np.isfinite(score_b)
+
+    # 'model': reference-exact silence
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        get_sr_and_score(one, flat, min_l=4, single_view_policy="model")
+
+    # multi-view scenes never trip the policy
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        get_sr_and_score(ds[0], flat, min_l=4)
+
+    # Model() threads training.single_view_policy through
+    cfg = {**config, "training": {**config["training"], "single_view_policy": "bicubic"}}
+    m = Model(cfg)
+    m.set_params(model.forward.params)
+    sr_m, _ = m(imset1)
+    np.testing.assert_allclose(np.asarray(sr_m), np.asarray(sr_b), atol=1e-6)
+
+
 def test_dihedral_roundtrip_and_group():
     """inv(fwd(x, t), t) == x for every D4 element; fwd matches the numpy
     rot90/flip composition it documents; the safe subgroup never changes
