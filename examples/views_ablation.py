@@ -73,7 +73,7 @@ def main():
             "views": k,
             "mean_shift_cpsnr": float(np.mean(v)),
             "vs_bicubic_db": round(float(np.mean(v)) - bicubic, 3),
-            # >0.05 is the eval path's warn_out_of_range threshold
+            # >0.3 is the eval path's warn_out_of_range threshold
             "max_out_of_range": round(float(np.max(per_k_overflow[k])), 4),
             # overflow inside the border-trimmed region the metric scores
             "max_out_of_range_scored": round(

@@ -84,6 +84,7 @@ def main(argv=None):
         min_l=config["training"]["min_L"],
         registration=model.registration if args.registered else None,
         register_size=config["training"].get("register_size", 128),
+        single_view_policy=config["training"].get("single_view_policy", "warn"),
     )
     table = benchmark(baseline, scores, part, clearances)
     print(table)

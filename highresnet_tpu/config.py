@@ -205,7 +205,8 @@ def load_config(path: str | None = None, overrides: Dict[str, Any] | None = None
         with open(path) as f:
             user = json.load(f)
         for k in user:
-            if k not in DEFAULT_CONFIG:
+            # "_"-prefixed keys are documentation (JSON has no comments)
+            if k not in DEFAULT_CONFIG and not k.startswith("_"):
                 warnings.warn(f"Unknown config section: {k!r}")
         cfg = _merge(cfg, user)
     if overrides:

@@ -151,7 +151,7 @@ class _TTAForward:
         return np.asarray(self._fn(self.params, jnp.asarray(lrs), jnp.asarray(alphas)))
 
 
-def warn_out_of_range(sr: np.ndarray, name: str = "", tol: float = 0.05) -> bool:
+def warn_out_of_range(sr: np.ndarray, name: str = "", tol: float = 0.3) -> bool:
     """Loudly flag SR output that leaves [0, 1] by more than ``tol``.
 
     Scoring clips to [0, 1]; an output far outside the range means the clip
@@ -160,6 +160,18 @@ def warn_out_of_range(sr: np.ndarray, name: str = "", tol: float = 0.05) -> bool
     off-distribution view count (VIEWS_ABLATION.json "clip-floor
     artifact") — without this warning such runs return garbage scores with
     no indication anything is wrong. Returns True when the warning fired.
+
+    The default ``tol`` is calibrated to the measured envelope of HEALTHY
+    checkpoints (round-5 range-penalty sweep, OVERFLOW_FRONTIER.json):
+    every well-trained arm peaks 0.11-0.26 outside [0, 1] at every view
+    count — a harmless fringe the clip removes at <0.01 dB — and pushing
+    the training penalty from 10 to 30+ costs cPSNR without moving that
+    floor, so overflow below ~0.1 is unreachable at quality parity. The
+    degenerate populations the warning exists for measure >=0.39 (fixed-L
+    checkpoint off-distribution, VIEWS_ABLATION_FIXL.json) and 0.50-0.57
+    (unpenalized fine-tune, VIEWS_ABLATION_VARL_FT.json); tol=0.3 sits in
+    the measured gap so routine predict flows are silent and the alarm
+    only fires on genuinely pathological output.
     """
     lo, hi = float(np.min(sr)), float(np.max(sr))
     if lo < -tol or hi > 1.0 + tol:
@@ -305,10 +317,14 @@ def evaluate(
     min_l: int = 16,
     registration=None,
     register_size: int = 128,
+    single_view_policy: str = "warn",
 ):
     """Score every scene in every split (optionally ShiftNet-registered).
 
     Returns (scores, clearances, part) dicts keyed by scene name.
+    ``single_view_policy`` is threaded to get_sr_and_score so the CLI
+    predict path honors ``training.single_view_policy`` the same way
+    ``Model.__call__`` does.
     """
     scores, clearances, part = {}, {}, {}
     for split, ds in datasets.items():
@@ -316,6 +332,7 @@ def evaluate(
             sr, sc = get_sr_and_score(
                 imset, forward, min_l=min_l,
                 registration=registration, register_size=register_size,
+                single_view_policy=single_view_policy,
             )
             scores[imset.name] = sc
             clearances[imset.name] = imset.clearances
@@ -437,6 +454,9 @@ class Model:
             self.forward,
             {"train": train_dataset, "val": val_dataset, "test": test_dataset},
             min_l=self.config["training"]["min_L"],
+            single_view_policy=self.config["training"].get(
+                "single_view_policy", "warn"
+            ),
         )
         return benchmark(baseline_cpsnrs, scores, part, clearances)
 

@@ -148,7 +148,8 @@ def overflow_metrics(sr, border: int = 3) -> Tuple[float, float]:
     The clip-floor evidence metric: how far the output leaves [0,1] before
     the metric clips it. The scored variant trims the `border` px frame
     shift_cpsnr never scores (ops/metrics.py:42) — overflow living only in
-    the trim is cosmetic. >0.05 is warn_out_of_range's default threshold.
+    the trim is cosmetic. >0.3 is warn_out_of_range's default threshold
+    (calibrated to the measured healthy envelope, OVERFLOW_FRONTIER.json).
     """
     import jax.numpy as jnp
 
