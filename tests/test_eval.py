@@ -290,6 +290,17 @@ def test_single_view_policy(eval_env):
     sr_m, _ = m(imset1)
     np.testing.assert_allclose(np.asarray(sr_m), np.asarray(sr_b), atol=1e-6)
 
+    # evaluate() threads it too (the cli.predict path; round-5 fix — the
+    # config key used to be honored only by Model.__call__)
+    from highresnet_tpu.eval.evaluator import evaluate as eval_fn
+
+    ds1 = SceneDataset(ds.scene_dirs[:1], top_k=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        eval_fn(flat, {"val": ds1}, min_l=4, single_view_policy="bicubic")
+    with pytest.warns(RuntimeWarning, match="single-view"):
+        eval_fn(flat, {"val": ds1}, min_l=4, single_view_policy="warn")
+
 
 def test_dihedral_roundtrip_and_group():
     """inv(fwd(x, t), t) == x for every D4 element; fwd matches the numpy
