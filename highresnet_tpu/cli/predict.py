@@ -52,6 +52,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
     assert os.path.isfile(args.config), args.config
 
+    from highresnet_tpu.exp.harness import honor_platform_and_cache
+
+    honor_platform_and_cache()
+
     from highresnet_tpu.config import load_config
     from highresnet_tpu.eval.evaluator import Model, benchmark, evaluate, load_data
 

@@ -19,6 +19,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
     assert os.path.isfile(args.config), args.config
 
+    # persistent compile cache + JAX_PLATFORMS honoring (the axon
+    # sitecustomize pins platforms over the env var): without this every
+    # supervisor relaunch of a training run pays the full ~40 s/shape
+    # TPU recompile bill again
+    from highresnet_tpu.exp.harness import honor_platform_and_cache
+
+    honor_platform_and_cache()
+
     from highresnet_tpu.config import load_config
     from highresnet_tpu.train.loop import train_and_get_best_model
 

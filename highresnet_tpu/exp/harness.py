@@ -34,9 +34,13 @@ def honor_platform_and_cache() -> None:
 
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    jax.config.update(
-        "jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}"
-    )
+    # respect a cache dir someone already configured (tests/conftest.py
+    # pins /tmp/jax_cache for the whole suite and drives the CLI mains
+    # in-process — clobbering it mid-suite would cold-start their shapes)
+    if not getattr(jax.config, "jax_compilation_cache_dir", None):
+        jax.config.update(
+            "jax_compilation_cache_dir", f"/tmp/jax_cache_{jax.default_backend()}"
+        )
 
 
 def ensure_dataset(
