@@ -12,6 +12,7 @@ avoid shape-churn recompiles.
 from __future__ import annotations
 
 import os
+import sys
 import warnings
 from typing import Any, Dict, Optional, Tuple
 
@@ -328,7 +329,7 @@ def evaluate(
     """
     scores, clearances, part = {}, {}, {}
     for split, ds in datasets.items():
-        for imset in ds:
+        for i, imset in enumerate(ds):
             sr, sc = get_sr_and_score(
                 imset, forward, min_l=min_l,
                 registration=registration, register_size=register_size,
@@ -337,6 +338,12 @@ def evaluate(
             scores[imset.name] = sc
             clearances[imset.name] = imset.clearances
             part[imset.name] = split
+            # progress heartbeat: long evals (x8 TTA compiles take minutes
+            # on the relay) must keep writing so log-staleness watchdogs
+            # (scripts/supervise_tpu.sh) don't kill a healthy run
+            if i % 10 == 9:
+                print(f"[evaluate] {split}: {i + 1}/{len(ds)}",
+                      file=sys.stderr, flush=True)
     return scores, clearances, part
 
 
