@@ -60,6 +60,39 @@ def maybe_initialize() -> None:
     elif mode == "auto":
         jax.distributed.initialize()
         _INITIALIZED = True
+    if _INITIALIZED:
+        _drop_cpu_persistent_cache()
+
+
+def _drop_cpu_persistent_cache() -> None:
+    """Disable the persistent compilation cache in multi-process CPU runs.
+
+    On hosts where XLA:CPU tags executables with tuning pseudo-features
+    (+prefer-no-gather/+prefer-no-scatter, AMX-class x86), every cache
+    load re-validates the serialized target features against the raw host
+    feature list and logs a pair of loud cpu_aot_loader mismatch errors
+    per entry (the load itself still succeeds — measured 5x faster than a
+    cold compile). Under the multi-process coordination runtime that spam
+    coincided with intermittent rank deaths at coordination barriers
+    (shutdown-barrier DEADLINE_EXCEEDED in the 2-process Gloo tests,
+    2026-08-20 host migration): a rank whose cache hits resolve instantly
+    can run minutes ahead of a peer that is compiling, and the
+    coordination deadlines are sized for symmetric progress. Compiles in
+    multi-process CPU runs (tests and the Gloo stand-in for DCN) are
+    small, so the cache buys little; dropping it keeps rank timing
+    symmetric and the logs clean. Single-process runs and TPU backends
+    keep their caches.
+    """
+    if jax.process_count() <= 1 or jax.default_backend() != "cpu":
+        return
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        print(
+            "multi-process CPU runtime: disabling the persistent compilation "
+            "cache (keeps rank progress symmetric; avoids XLA's per-entry "
+            "target-feature mismatch spam on AMX-class hosts)",
+            flush=True,
+        )
+        jax.config.update("jax_compilation_cache_dir", None)
 
 
 def is_multihost() -> bool:

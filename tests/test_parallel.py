@@ -351,3 +351,25 @@ def test_loop_mesh_config_validation(tmp_path):
         cfg["training"]["mesh"] = mesh_cfg
         with pytest.raises(ValueError, match=match):
             train_and_get_best_model(cfg)
+
+
+def test_drop_cpu_persistent_cache_multiprocess_only(monkeypatch):
+    """The persistent-cache guard fires only for multi-process CPU runtimes
+    (on AMX-class hosts every cache load spams cpu_aot_loader feature-
+    mismatch errors and rank hit/compile skew can trip coordination
+    barriers; see distributed._drop_cpu_persistent_cache)."""
+    from highresnet_tpu.parallel import distributed as dist
+
+    cache_dir = "/tmp/jax_cache_guard_test"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    try:
+        # single process: untouched (the cache works fine in-process)
+        dist._drop_cpu_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+
+        # multi-process CPU: dropped
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        dist._drop_cpu_persistent_cache()
+        assert not jax.config.jax_compilation_cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
